@@ -1,0 +1,122 @@
+"""Ray-sample generation: stratified coarse samples + inverse-CDF fine samples.
+
+Parity targets:
+
+* coarse stratified sampling with per-bin jitter —
+  ``nerf_sandbox/source/train/trainer.py:901-908`` (train) and
+  ``source/utils/render_utils.py:330-358`` (eval, optional perturb)
+* hierarchical inverse-CDF sampling —
+  ``nerf_sandbox/source/utils/sampling_utils.py:6-64`` (``sample_pdf``):
+  accepts bin edges (M+1) or midpoints (M, expanded to edges), +1e-5 weight
+  floor before normalisation, CDF with zero prefix, ``searchsorted`` with
+  ``right=True`` semantics, lo/hi gather, linear interpolation with the
+  ``denom < 1e-5 → 1`` guard.
+
+TPU-first design: everything is a fixed-shape pure function of (rng, arrays);
+random draws are threaded JAX PRNG keys rather than global state.  The
+jitter never needs a sort — the stratified bins are disjoint, so the
+jittered samples are monotone by construction (the reference sorts a
+provably-sorted array; see trainer.py:908).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_samples(near, far, n_samples: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Uniform z template over [near, far], shape (n_samples,).
+
+    Matches ``near*(1-t) + far*t`` with t = linspace(0,1,n) (trainer.py:901-902).
+    """
+    t = jnp.linspace(0.0, 1.0, n_samples, dtype=dtype)
+    return near * (1.0 - t) + far * t
+
+
+def perturb_z_samples(key: jax.Array, z: jnp.ndarray) -> jnp.ndarray:
+    """Jitter each sample uniformly within its stratified bin.
+
+    ``z``: (..., N) sorted. Bins are [z_0, m_0], [m_0, m_1], ..., [m_{N-2}, z_{N-1}]
+    with m_i the midpoints — exactly trainer.py:904-907. Result is monotone,
+    so no re-sort is required (the reference's ``torch.sort`` is a no-op).
+    """
+    mids = 0.5 * (z[..., 1:] + z[..., :-1])
+    lower = jnp.concatenate([z[..., :1], mids], axis=-1)
+    upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
+    u = jax.random.uniform(key, z.shape, dtype=z.dtype)
+    return lower + (upper - lower) * u
+
+
+def _mids_to_edges(mids: jnp.ndarray) -> jnp.ndarray:
+    """Expand M midpoints to M+1 edges (sampling_utils.py:24-33)."""
+    M = mids.shape[-1]
+    if M == 1:
+        d = jnp.full_like(mids, 1e-3)
+        return jnp.concatenate([mids - 0.5 * d, mids + 0.5 * d], axis=-1)
+    lo = mids[..., :1] - 0.5 * (mids[..., 1:2] - mids[..., :1])
+    hi = mids[..., -1:] + 0.5 * (mids[..., -1:] - mids[..., -2:-1])
+    inter = 0.5 * (mids[..., 1:] + mids[..., :-1])
+    return jnp.concatenate([lo, inter, hi], axis=-1)
+
+
+def sample_pdf(
+    bins: jnp.ndarray,          # (B, M) midpoints OR (B, M+1) edges
+    weights: jnp.ndarray,       # (B, M)
+    n_samples: int,
+    *,
+    key: jax.Array | None = None,
+    deterministic: bool = False,
+    u: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Hierarchical sampling from a piecewise-constant PDF → (B, n_samples).
+
+    Numerics match sampling_utils.py:6-64.  ``u`` may be supplied explicitly
+    (used by parity tests); otherwise deterministic → inclusive linspace(0,1),
+    stochastic → uniform draws from ``key``.
+    """
+    B, M = weights.shape
+    if bins.shape[-1] == M + 1:
+        edges = bins
+    elif bins.shape[-1] == M:
+        edges = _mids_to_edges(bins)
+    else:
+        raise ValueError(f"Incompatible shapes: bins={bins.shape}, weights={weights.shape}")
+
+    w = jnp.maximum(weights + 1e-5, 0.0)
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)                                   # (B, M)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (B, M+1)
+
+    if u is None:
+        if deterministic:
+            u = jnp.broadcast_to(
+                jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype), (B, n_samples))
+        else:
+            if key is None:
+                raise ValueError("sample_pdf: key required when not deterministic")
+            u = jax.random.uniform(key, (B, n_samples), dtype=cdf.dtype)
+
+    # searchsorted(cdf, u, right=True): number of cdf entries <= u.
+    # 'compare_all' lowers to a dense comparison — the fast path on TPU
+    # (M+1 ~ 65 comparisons per query, pure VPU work, no sequential scan).
+    inds = jax.vmap(
+        lambda c, q: jnp.searchsorted(c, q, side="right", method="compare_all")
+    )(cdf, u)
+    below = jnp.clip(inds - 1, 0, M)
+    above = jnp.clip(inds, 1, M)
+
+    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
+    bin_lo = jnp.take_along_axis(edges, below, axis=-1)
+    bin_hi = jnp.take_along_axis(edges, above, axis=-1)
+
+    denom = cdf_hi - cdf_lo
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_lo) / denom
+    return bin_lo + t * (bin_hi - bin_lo)
+
+
+def merge_z_samples(z_coarse: jnp.ndarray, z_fine: jnp.ndarray) -> jnp.ndarray:
+    """Sorted union of coarse+fine samples (trainer.py:981)."""
+    return jnp.sort(jnp.concatenate([z_coarse, z_fine], axis=-1), axis=-1)

@@ -1,0 +1,94 @@
+"""Stateless NeRF march + composite at fixed z samples (the XLA reference path).
+
+Parity target: ``nerf_sandbox/source/utils/render_utils.py:171-283``
+(``nerf_forward_pass``):
+
+* points ``pts = o + d_unit * (z * ||d_raw||)`` (:209-215)
+* view directions = unit WORLD dirs broadcast per sample (:217-223)
+* encode → MLP → sigmoid(rgb); train-time Gaussian sigma noise added to the
+  RAW sigma logits before the relu/softplus activation (:239-246)
+* composite via ``volume_render_rays`` with z kept in z units (:267-276)
+
+TPU-first differences: a single fused XLA program (no ``mlp_chunk`` host
+loop — chunking is an OOM workaround the reference needed on small GPUs;
+on TPU the ray batch itself is the tile unit and is sharded over the mesh).
+The noise is drawn from a threaded PRNG key in fp32 (matching the
+reference's fp32-noise-under-AMP detail, render_utils.py:239-241).
+
+``ops/fused_raymarch.py`` provides the Pallas-fused equivalent; this XLA
+version is the correctness oracle and autodiff fallback.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nerf_sandbox_tpu.core.encoding import positional_encoding
+from nerf_sandbox_tpu.core.integrator import volume_render_rays
+from nerf_sandbox_tpu.models.mlp import NeRFConfig, nerf_apply
+
+
+def nerf_forward_pass(
+    params,
+    cfg: NeRFConfig,
+    rays_o: jnp.ndarray,            # (B, 3) marching-space origins
+    rays_d_unit: jnp.ndarray,       # (B, 3) unit marching dirs
+    z_vals: jnp.ndarray,            # (B, N) sorted
+    *,
+    pos_bands: jnp.ndarray,         # (Fp,)
+    dir_bands: jnp.ndarray,         # (Fd,)
+    pos_include_input: bool = True,
+    dir_include_input: bool = True,
+    white_bkgd: bool,
+    ray_norms: jnp.ndarray | None = None,       # (B,) or (B,1): ||d_raw||
+    viewdirs_world_unit: jnp.ndarray | None = None,  # (B,3)
+    sigma_activation: str = "relu",
+    raw_noise_std: float = 0.0,
+    noise_key: jax.Array | None = None,
+    infinite_last_bin: bool = False,
+    compute_dtype=jnp.float32,
+):
+    """Returns (composite_rgb (B,3), weights (B,N), acc (B,1), depth (B,1))."""
+    B, N = z_vals.shape
+
+    if ray_norms is None:
+        z_metric = z_vals
+    else:
+        z_metric = z_vals * ray_norms.reshape(B, 1)
+    pts = rays_o[:, None, :] + rays_d_unit[:, None, :] * z_metric[..., None]  # (B,N,3)
+
+    if viewdirs_world_unit is not None:
+        vn = jnp.linalg.norm(viewdirs_world_unit, axis=-1, keepdims=True)
+        vdirs = viewdirs_world_unit / jnp.maximum(vn, 1e-12)
+    else:
+        vdirs = rays_d_unit
+    vdirs = jnp.broadcast_to(vdirs[:, None, :], pts.shape)                    # (B,N,3)
+
+    enc_pos = positional_encoding(
+        pts.reshape(-1, 3).astype(compute_dtype), pos_bands,
+        include_input=pos_include_input)
+    enc_dir = positional_encoding(
+        vdirs.reshape(-1, 3).astype(compute_dtype), dir_bands,
+        include_input=dir_include_input)
+
+    out = nerf_apply(params, cfg, enc_pos, enc_dir)                           # (Q,4)
+    rgb = jax.nn.sigmoid(out[..., :3])
+    sigma = out[..., 3]
+
+    if raw_noise_std > 0.0 and noise_key is not None:
+        noise = jax.random.normal(noise_key, sigma.shape, dtype=jnp.float32)
+        sigma = sigma + (noise * raw_noise_std).astype(sigma.dtype)
+
+    if sigma_activation == "softplus":
+        sigma = jax.nn.softplus(sigma)
+    else:
+        sigma = jax.nn.relu(sigma)
+
+    rgb = rgb.reshape(B, N, 3)
+    sigma = sigma.reshape(B, N)
+
+    return volume_render_rays(
+        rgb.astype(jnp.float32), sigma.astype(jnp.float32), z_vals,
+        ray_norm=ray_norms, white_bkgd=white_bkgd,
+        infinite_last_bin=infinite_last_bin)

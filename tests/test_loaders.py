@@ -1,0 +1,145 @@
+"""Loader tests on synthetic tiny datasets written to tmp_path
+(mirrors the reference's tests/unit/test_blender_loader.py fixture pattern)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from nerf_sandbox_tpu.data.blender_loader import BlenderSceneLoader
+from nerf_sandbox_tpu.data.llff_loader import LLFFSceneLoader
+
+
+def _write_png(path, arr):
+    import imageio.v2 as imageio
+    imageio.imwrite(path, arr)
+
+
+def _make_blender(root, n_frames=3, size=8, rgba=False):
+    root.mkdir(parents=True, exist_ok=True)
+    (root / "train").mkdir(exist_ok=True)
+    frames = []
+    rng = np.random.RandomState(0)
+    for i in range(n_frames):
+        name = f"./train/r_{i}"
+        c = 3 + (1 if rgba else 0)
+        img = rng.randint(0, 255, (size, size, c), dtype=np.uint8)
+        _write_png(root / "train" / f"r_{i}.png", img)
+        c2w = np.eye(4)
+        c2w[:3, 3] = [i * 1.0, 0.0, 4.0]
+        frames.append({"file_path": name, "transform_matrix": c2w.tolist()})
+    meta = {"camera_angle_x": 0.6911, "frames": frames}
+    (root / "transforms_train.json").write_text(json.dumps(meta))
+    return root
+
+
+def test_missing_transforms_raises(tmp_path):
+    loader = BlenderSceneLoader(tmp_path)
+    with pytest.raises(FileNotFoundError):
+        loader.load("train")
+
+
+def test_missing_image_raises(tmp_path):
+    root = _make_blender(tmp_path / "scene")
+    (root / "train" / "r_1.png").unlink()
+    with pytest.raises(FileNotFoundError):
+        BlenderSceneLoader(root).load("train")
+
+
+@pytest.mark.parametrize("downscale", [1, 2, 4])
+def test_blender_intrinsics_downscale(tmp_path, downscale):
+    root = _make_blender(tmp_path / "scene", size=16)
+    sc = BlenderSceneLoader(root, downscale=downscale).load("train")
+    W = 16 // downscale
+    f_expected = 0.5 * W / np.tan(0.5 * 0.6911)
+    K = sc.frames[0].K
+    assert sc.frames[0].image.shape[:2] == (W, W)
+    np.testing.assert_allclose(K[0, 0], f_expected, rtol=1e-5)
+    np.testing.assert_allclose(K[0, 2], W / 2)
+
+
+def test_blender_centering_and_scale(tmp_path):
+    root = _make_blender(tmp_path / "scene")
+    sc = BlenderSceneLoader(root, centering="auto", scene_scale=2.0).load("train")
+    centers = np.stack([f.c2w[:3, 3] for f in sc.frames])
+    np.testing.assert_allclose(centers.mean(0), 0.0, atol=1e-5)
+    # spread doubled relative to uncentered unit spacing
+    sc1 = BlenderSceneLoader(root, centering="auto", scene_scale=1.0).load("train")
+    c1 = np.stack([f.c2w[:3, 3] for f in sc1.frames])
+    np.testing.assert_allclose(centers, c1 * 2.0, atol=1e-5)
+
+
+def test_blender_rgba_kept(tmp_path):
+    root = _make_blender(tmp_path / "scene", rgba=True)
+    sc = BlenderSceneLoader(root).load("train")
+    assert sc.frames[0].image.shape[-1] == 4
+    assert sc.frames[0].image.dtype == np.float32
+    assert sc.frames[0].image.max() <= 1.0
+
+
+# ---------------- LLFF ----------------
+
+def _make_llff(root, n=6, H=12, W=16):
+    root.mkdir(parents=True, exist_ok=True)
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(n):
+        img = rng.randint(0, 255, (H, W, 3), dtype=np.uint8)
+        _write_png(img_dir / f"img_{i:03d}.png", img)
+        # LLFF layout (3,5): rotation columns [down, right, back], t, hwf
+        angle = 0.1 * (i - n / 2)
+        R_gl = np.array([
+            [np.cos(angle), 0, np.sin(angle)],
+            [0, 1, 0],
+            [-np.sin(angle), 0, np.cos(angle)],
+        ], np.float32)  # [right, up, back]
+        # convert to LLFF [down, right, back] = [-up, right, back]
+        m = np.stack([-R_gl[:, 1], R_gl[:, 0], R_gl[:, 2]], axis=1)
+        t = np.array([0.2 * i, 0.0, 0.1 * i], np.float32)
+        hwf = np.array([H, W, 20.0], np.float32)
+        p35 = np.concatenate([m, t[:, None], hwf[:, None]], axis=1)
+        bounds = np.array([2.0 + 0.1 * i, 10.0 + i], np.float32)
+        rows.append(np.concatenate([p35.reshape(-1), bounds]))
+    np.save(root / "poses_bounds.npy", np.stack(rows))
+    return root
+
+
+def test_llff_load_and_holdout(tmp_path):
+    root = _make_llff(tmp_path / "fern")
+    loader = LLFFSceneLoader(root)
+    train = loader.load("train")
+    val = loader.load("val")
+    assert len(train) + len(val) == 6 and len(val) == 1
+    # scaled + recentered: near bound * sc == 1/bd_factor
+    near, far = loader.get_global_near_far(percentile=(0.0, 100.0))
+    np.testing.assert_allclose(near, 1.0 / 0.75, rtol=1e-5)
+    # mean center ~ 0 after recentering (holdout excluded changes this a bit)
+    all_frames = train.frames + val.frames
+    centers = np.stack([f.c2w[:3, 3] for f in all_frames])
+    np.testing.assert_allclose(centers.mean(0), 0.0, atol=1e-4)
+
+
+def test_llff_periodic_holdout(tmp_path):
+    root = _make_llff(tmp_path / "fern")
+    loader = LLFFSceneLoader(root, holdout_every=3)
+    train = loader.load("train")
+    val = loader.load("val")
+    assert len(val) == 2 and len(train) == 4
+
+
+def test_llff_requires_minified_dir(tmp_path):
+    root = _make_llff(tmp_path / "fern")
+    with pytest.raises(FileNotFoundError):
+        LLFFSceneLoader(root, downscale=4).load("train")
+
+
+def test_llff_recenter_matches_reference_math(tmp_path):
+    root = _make_llff(tmp_path / "fern")
+    sc = LLFFSceneLoader(root, use_llff_holdout=False).load("train")
+    assert len(sc) == 6
+    # every K has f scaled by 1/factor=1 and principal point at W/2, H/2
+    K = sc.frames[0].K
+    np.testing.assert_allclose(K[0, 2], 16 / 2)
+    np.testing.assert_allclose(K[1, 2], 12 / 2)
