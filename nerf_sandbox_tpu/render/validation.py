@@ -1,0 +1,427 @@
+"""Validation + progress-video rendering engine.
+
+Parity target: ``nerf_sandbox/source/utils/validation_renderer.py:30-971``
+(``ValidationRenderer``):
+
+* step-tagged validation frames per index → ``val_idxNNNN/{rgb,opacity,
+  depth}/step_%07d.png`` + masked/unmasked PSNR vs (bilinear-resized) GT
+* one-off frames (``render_selected_frames``)
+* H/W/K snapped up to multiples of 16 for video codecs (:93-115)
+* progress-video plan: a camera path split into blocks across validation
+  events; per-frame exists-skip idempotency; MP4+GIF triplet assembly;
+  per-index time-lapse export; final camera-path video; ``resume_to_step``
+  restoring the block cursor as max(passed events, frames on disk)
+
+Design differences (TPU-first / functional):
+* no trainer god-object — the renderer holds static context (scene, eval
+  hyper, jitted tile renderer) and receives the CURRENT param pytrees per
+  call, so validation uses live training state with zero checkpoint reloads
+  and works identically from the ``--render_only`` path
+* rendering goes through the jitted fixed-tile renderer (renderer.py), so
+  repeated validation events reuse one compiled program per resolution
+* the reference's exists-skip checked ``frame_%05d.png`` but wrote
+  ``rgb_frame_%05d.png`` (validation_renderer.py:660-662 vs :695) so its
+  skip never fired; here the skip checks the file actually written.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from nerf_sandbox_tpu.render.path_poses import generate_path_poses
+from nerf_sandbox_tpu.render.renderer import render_pose
+from nerf_sandbox_tpu.render.video import (
+    export_triplet_videos, save_gray_png, save_rgb_png)
+
+
+def snap_hwk(H: int, W: int, K: np.ndarray, multiple: int = 16):
+    """Snap (H, W) up to codec-friendly multiples, rescaling K to keep FOV."""
+    m = int(multiple)
+    if m <= 1:
+        return H, W, K
+    Hs = ((int(H) + m - 1) // m) * m
+    Ws = ((int(W) + m - 1) // m) * m
+    if Hs == H and Ws == W:
+        return H, W, K
+    K2 = K.copy()
+    K2[0, 0] *= Ws / float(W)
+    K2[0, 2] *= Ws / float(W)
+    K2[1, 1] *= Hs / float(H)
+    K2[1, 2] *= Hs / float(H)
+    return Hs, Ws, K2
+
+
+def scale_hwk(H: int, W: int, K: np.ndarray, s: float):
+    if s == 1.0:
+        return int(H), int(W), K
+    K2 = K.copy()
+    K2[:2] *= s
+    return max(1, int(round(H * s))), max(1, int(round(W * s))), K2
+
+
+def compute_psnr(pred: np.ndarray, gt: np.ndarray,
+                 mask: Optional[np.ndarray] = None) -> float:
+    """PSNR over (H,W,3) images in [0,1]; optional (H,W,1) validity mask
+    (validation_renderer.py:171-196)."""
+    pred = np.clip(pred, 0.0, 1.0).astype(np.float64)
+    gt = np.clip(gt, 0.0, 1.0).astype(np.float64)
+    if mask is not None:
+        m = mask.astype(np.float64)
+        if m.ndim == 2:
+            m = m[..., None]
+        mse = float((((pred - gt) ** 2) * m).sum()
+                    / max((m.sum() * pred.shape[-1]), 1e-8))
+    else:
+        mse = float(((pred - gt) ** 2).mean())
+    return float(-10.0 * np.log10(max(mse, 1e-10)))
+
+
+def _resize_bilinear(img: np.ndarray, H: int, W: int) -> np.ndarray:
+    if img.shape[0] == H and img.shape[1] == W:
+        return img
+    import cv2
+    out = cv2.resize(img, (W, H), interpolation=cv2.INTER_LINEAR)
+    if out.ndim == 2:
+        out = out[..., None]
+    return out
+
+
+class ValidationRenderer:
+    def __init__(self, *, scene_val, out_dir, render_tile, cfg,
+                 near_world: float, far_world: float, use_ndc: bool,
+                 ndc_near_plane_world: float, convention: str = "opengl",
+                 tb_logger=None, eval_chunk: int = 16384,
+                 snap_multiple: int = 16, cancel_flag_getter=None):
+        self.scene = scene_val
+        self.out_dir = Path(out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.render_tile = render_tile        # jitted fixed-tile renderer
+        self.cfg = cfg
+        self.near_world = float(near_world)
+        self.far_world = float(far_world)
+        self.use_ndc = bool(use_ndc)
+        self.ndc_near_plane_world = float(ndc_near_plane_world)
+        self.convention = convention
+        self.tb = tb_logger
+        self.eval_chunk = int(eval_chunk)
+        self.snap_multiple = int(snap_multiple)
+        self.cancel = cancel_flag_getter or (lambda: False)
+
+        # progress-video plan state
+        self._prog_active = False
+        self._prog_frames_dir: Optional[Path] = None
+        self._prog_poses: List[np.ndarray] = []
+        self._prog_block_sizes: List[int] = []
+        self._prog_next_block_idx = 0
+        self._prog_total_frames = 0
+        self._prog_val_steps: List[int] = []
+        self._prog_H = self._prog_W = 0
+        self._prog_K = np.eye(3, dtype=np.float32)
+        self._prog_fps = 24
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _resolve_frame_indices(self, frame_indices=None, filenames=None) -> List[int]:
+        """Indices and/or filename matches against Frame.meta
+        (validation_renderer.py:137-169)."""
+        idxs: List[int] = []
+        if frame_indices:
+            idxs.extend(int(i) for i in frame_indices)
+        if filenames:
+            for target in filenames:
+                target = str(target).strip()
+                matched = None
+                for i, f in enumerate(self.scene.frames):
+                    fp = (f.meta or {}).get("file_path") or (f.meta or {}).get("basename")
+                    if fp and target in (fp, Path(fp).name, Path(fp).stem):
+                        matched = i
+                        break
+                if matched is None:
+                    raise ValueError(f"Could not resolve filename '{target}' "
+                                     "to a validation frame.")
+                idxs.append(matched)
+        if not idxs:
+            idxs = [0]
+        n = len(self.scene.frames)
+        return sorted({max(0, min(i, n - 1)) for i in idxs})
+
+    def _depth_to_unit(self, depth: np.ndarray) -> np.ndarray:
+        if self.use_ndc:
+            return np.clip(depth, 0.0, 1.0)
+        return np.clip((depth - self.near_world)
+                       / (self.far_world - self.near_world + 1e-8), 0.0, 1.0)
+
+    def _render_pose(self, params_c, params_f, c2w, H, W, K) -> dict:
+        return render_pose(
+            self.render_tile, params_c, params_f, c2w, H, W, K,
+            eval_chunk=self.eval_chunk, use_ndc=self.use_ndc,
+            convention=self.convention,
+            near_plane=(self.ndc_near_plane_world if self.use_ndc
+                        else self.near_world))
+
+    def _gt_for_frame(self, fid: int, target_hw, *, use_mask: bool):
+        """(gt_rgb, mask) resized to target, both [0,1] float
+        (validation_renderer.py:230-266); RGBA GT is composited onto white
+        when the run renders on white (canonical NeRF metric)."""
+        img = np.asarray(self.scene.frames[fid].image, np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        alpha = img[..., 3:4] if img.shape[-1] == 4 else None
+        rgb = img[..., :3]
+        if alpha is not None and bool(getattr(self.cfg, "white_bkgd", True)):
+            rgb = rgb * alpha + (1.0 - alpha)
+        H, W = target_hw
+        rgb = _resize_bilinear(rgb, H, W)
+        mask = None
+        if use_mask and alpha is not None:
+            mask = _resize_bilinear(alpha, H, W)
+        return rgb, mask
+
+    def _save_triplet(self, dirs, names, res) -> List[Path]:
+        d_rgb, d_op, d_dp = dirs
+        n_rgb, n_op, n_dp = names
+        for d in dirs:
+            Path(d).mkdir(parents=True, exist_ok=True)
+        p_rgb, p_op, p_dp = Path(d_rgb) / n_rgb, Path(d_op) / n_op, Path(d_dp) / n_dp
+        save_rgb_png(res["rgb"], p_rgb)
+        save_gray_png(res["acc"].squeeze(-1), p_op)
+        save_gray_png(self._depth_to_unit(res["depth"].squeeze(-1)), p_dp)
+        return [p_rgb, p_op, p_dp]
+
+    # ------------------------------------------------------------------
+    # validation frames
+    # ------------------------------------------------------------------
+
+    def render_indices_at_step(self, step: int, frame_indices: Sequence[int],
+                               params_c, params_f, *, use_mask="auto",
+                               res_scale: float = 1.0,
+                               log_to_tb: bool = False):
+        """Step-tagged triplets + PSNR (validation_renderer.py:394-542)."""
+        paths: List[Path] = []
+        psnrs: List[float] = []
+        idxs = self._resolve_frame_indices(frame_indices)
+
+        for fid in idxs:
+            fr = self.scene.frames[fid]
+            H, W, K = scale_hwk(fr.H, fr.W, np.asarray(fr.K, np.float32),
+                                float(res_scale))
+            res = self._render_pose(params_c, params_f, fr.c2w, H, W, K)
+
+            root = self.out_dir / f"val_idx{fid:04d}"
+            name = f"step_{int(step):07d}.png"
+            paths += self._save_triplet(
+                (root / "rgb", root / "opacity", root / "depth"),
+                (name, name, name), res)
+
+            mask_flag = use_mask if isinstance(use_mask, bool) else False
+            gt, mask = self._gt_for_frame(fid, (H, W), use_mask=mask_flag)
+            psnr = compute_psnr(res["rgb"], gt, mask)
+            psnrs.append(psnr)
+
+            if log_to_tb and self.tb is not None:
+                self.tb.log_validation_images(
+                    f"val/{fid}", int(step), res["rgb"],
+                    acc=res["acc"].squeeze(-1),
+                    depth=res["depth"].squeeze(-1),
+                    near=0.0 if self.use_ndc else self.near_world,
+                    far=1.0 if self.use_ndc else self.far_world)
+                self.tb.add_scalar(f"val/psnr_frame_{fid}", psnr, int(step))
+                self.tb.flush()
+
+        metrics = {"psnr_per_frame": psnrs,
+                   "psnr_mean": (sum(psnrs) / len(psnrs)) if psnrs else None}
+        if log_to_tb and self.tb is not None and metrics["psnr_mean"] is not None:
+            self.tb.add_scalar("val/psnr_mean", metrics["psnr_mean"], int(step))
+        return paths, metrics
+
+    def render_selected_frames(self, params_c, params_f, frame_indices=None,
+                               filenames=None, *, res_scale: float = 1.0,
+                               log_to_tb: bool = False, tb_step: int = 0):
+        """One-off (un-tagged) validation frames
+        (validation_renderer.py:273-387)."""
+        idxs = self._resolve_frame_indices(frame_indices, filenames)
+        out: List[Path] = []
+        for fid in idxs:
+            fr = self.scene.frames[fid]
+            H, W, K = scale_hwk(fr.H, fr.W, np.asarray(fr.K, np.float32),
+                                float(res_scale))
+            res = self._render_pose(params_c, params_f, fr.c2w, H, W, K)
+            out += self._save_triplet(
+                (self.out_dir, self.out_dir, self.out_dir),
+                (f"val_idx{fid:04d}.png", f"val_idx{fid:04d}_opacity.png",
+                 f"val_idx{fid:04d}_depth.png"), res)
+            if log_to_tb and self.tb is not None:
+                self.tb.log_validation_images(
+                    f"val/{fid}", int(tb_step), res["rgb"],
+                    acc=res["acc"].squeeze(-1), depth=res["depth"].squeeze(-1),
+                    near=0.0 if self.use_ndc else self.near_world,
+                    far=1.0 if self.use_ndc else self.far_world)
+        return out
+
+    # ------------------------------------------------------------------
+    # progress-video plan
+    # ------------------------------------------------------------------
+
+    def setup_progress_plan(self, *, val_steps: Sequence[int],
+                            frames_subdir: str = "training_progress") -> None:
+        """Generate the camera path and split it into per-event blocks
+        (validation_renderer.py:545-641)."""
+        val_steps = list(dict.fromkeys(int(s) for s in val_steps))
+        assert len(val_steps) >= 1
+        cfg = self.cfg
+
+        n_frames = int(getattr(cfg, "progress_frames", 120) or 120)
+        res_scale = float(getattr(cfg, "path_res_scale", 1.0) or 1.0)
+        poses, H, W, K = generate_path_poses(
+            self.scene, n_frames,
+            path_type=str(getattr(cfg, "path_type", "llff_spiral")),
+            res_scale=res_scale,
+            data_root=getattr(cfg, "data_root", None),
+            bl_phi_deg=float(getattr(cfg, "bl_phi_deg", None) or -30.0),
+            bl_radius=getattr(cfg, "bl_radius", None),
+            bl_theta_start_deg=float(getattr(cfg, "bl_theta_start_deg", None) or -180.0),
+            bl_rots=float(getattr(cfg, "bl_rots", None) or 1.0),
+            rots=float(getattr(cfg, "rots", None) or 2.0),
+            zrate=float(getattr(cfg, "zrate", None) or 0.5),
+            path_zflat=bool(getattr(cfg, "path_zflat", None) or False),
+            bd_factor=float(getattr(cfg, "bd_factor", 0.75)))
+
+        E = len(val_steps)
+        base, rem = divmod(n_frames, E)
+        block_sizes = [base + (1 if i < rem else 0) for i in range(E)]
+
+        self._prog_frames_dir = self.out_dir / str(frames_subdir)
+        for sub in ("rgb", "depth", "opacity"):
+            (self._prog_frames_dir / sub).mkdir(parents=True, exist_ok=True)
+
+        self._prog_poses = poses
+        self._prog_H, self._prog_W, self._prog_K = snap_hwk(
+            int(H), int(W), K.astype(np.float32), self.snap_multiple)
+        self._prog_fps = int(getattr(cfg, "path_fps", 24) or 24)
+        self._prog_block_sizes = block_sizes
+        self._prog_next_block_idx = 0
+        self._prog_total_frames = n_frames
+        self._prog_val_steps = val_steps
+        self._prog_active = True
+        print(f"[progress-plan] frames={n_frames} blocks={E} "
+              f"res={self._prog_W}x{self._prog_H}")
+
+    def render_progress_block(self, params_c, params_f) -> Tuple[int, int]:
+        """Render the next block of path frames with the CURRENT params
+        (validation_renderer.py:644-705); frames already on disk are skipped."""
+        if not self._prog_active or \
+                self._prog_next_block_idx >= len(self._prog_block_sizes):
+            return (0, 0)
+        block_idx = self._prog_next_block_idx
+        count = int(self._prog_block_sizes[block_idx])
+        start = sum(self._prog_block_sizes[:block_idx])
+
+        for i in range(start, start + count):
+            if self.cancel():
+                break
+            p_rgb = self._prog_frames_dir / "rgb" / f"rgb_frame_{i:05d}.png"
+            if p_rgb.exists():
+                continue    # resume idempotency
+            res = self._render_pose(params_c, params_f, self._prog_poses[i],
+                                    self._prog_H, self._prog_W, self._prog_K)
+            self._save_triplet(
+                (self._prog_frames_dir / "rgb", self._prog_frames_dir / "opacity",
+                 self._prog_frames_dir / "depth"),
+                (f"rgb_frame_{i:05d}.png", f"opacity_frame_{i:05d}.png",
+                 f"depth_frame_{i:05d}.png"), res)
+
+        self._prog_next_block_idx += 1
+        return (start, count)
+
+    def resume_to_step(self, current_step: int) -> None:
+        """Restore the block cursor after resume: max(validation events that
+        already fired, whole blocks present on disk)
+        (validation_renderer.py:924-956)."""
+        if not self._prog_active:
+            return
+        passed = sum(1 for s in self._prog_val_steps if s <= int(current_step))
+        n_existing = len(list((self._prog_frames_dir / "rgb").glob("rgb_frame_*.png")))
+        cum, idx_from_disk = 0, 0
+        for i, b in enumerate(self._prog_block_sizes):
+            if cum + b <= n_existing:
+                cum += b
+                idx_from_disk = i + 1
+            else:
+                break
+        self._prog_next_block_idx = max(passed, idx_from_disk)
+
+    # ------------------------------------------------------------------
+    # exports
+    # ------------------------------------------------------------------
+
+    def export_val_videos_for_indices(self, frame_indices: Sequence[int], *,
+                                      fps: int = 24, out_suffix: str = "") -> None:
+        """Per-index time-lapse MP4+GIF from step-tagged PNGs
+        (validation_renderer.py:766-796)."""
+        for fid in self._resolve_frame_indices(frame_indices):
+            root = self.out_dir / f"val_idx{fid:04d}"
+            written = export_triplet_videos(
+                root, root, f"val_idx{fid:04d}{out_suffix}", fps=fps,
+                kinds=("rgb", "depth", "opacity"),
+                cancel_flag_getter=self.cancel)
+            for p in written:
+                print(f"[VAL-VIDEO] wrote -> {p}")
+
+    def export_progress_video(self, video_name: str = "training_progress") -> None:
+        """(validation_renderer.py:798-816)."""
+        if not self._prog_active or self._prog_frames_dir is None:
+            return
+        written = export_triplet_videos(
+            self._prog_frames_dir, self._prog_frames_dir, video_name,
+            fps=self._prog_fps, cancel_flag_getter=self.cancel)
+        for p in written:
+            print(f"[PROGRESS] wrote -> {p}")
+
+    def render_camera_path_video(self, params_c, params_f, *,
+                                 video_name: str = "camera_path",
+                                 frames_subdir: str = "camera_path",
+                                 overwrite: bool = True) -> None:
+        """Full path with the final weights → triplet videos
+        (validation_renderer.py:818-922); builds a plan on demand so
+        ``--render_only`` works without prior training (fixing the stale-
+        kwargs fallback noted in SURVEY.md §2 #18)."""
+        if not self._prog_poses:
+            from nerf_sandbox_tpu.train.schedule import build_validation_steps
+            val_steps = build_validation_steps(
+                int(getattr(self.cfg, "max_steps", 200_000)),
+                base_every=getattr(self.cfg, "val_every", None),
+                num_val_steps=getattr(self.cfg, "num_val_steps", None) or 100,
+                schedule=str(getattr(self.cfg, "val_schedule", "power")),
+                power=float(getattr(self.cfg, "val_power", 2.0)))
+            self.setup_progress_plan(val_steps=val_steps,
+                                     frames_subdir="training_progress")
+
+        frames_dir = self.out_dir / frames_subdir
+        if frames_dir.exists() and overwrite:
+            for sub in ("rgb", "depth", "opacity"):
+                for p in (frames_dir / sub).glob("*.png"):
+                    p.unlink(missing_ok=True)
+        for sub in ("rgb", "depth", "opacity"):
+            (frames_dir / sub).mkdir(parents=True, exist_ok=True)
+
+        for i, c2w in enumerate(self._prog_poses):
+            if self.cancel():
+                print("[CAMERA PATH] cancelled by signal")
+                break
+            res = self._render_pose(params_c, params_f, c2w, self._prog_H,
+                                    self._prog_W, self._prog_K)
+            self._save_triplet(
+                (frames_dir / "rgb", frames_dir / "opacity", frames_dir / "depth"),
+                (f"rgb_frame_{i:05d}.png", f"opacity_frame_{i:05d}.png",
+                 f"depth_frame_{i:05d}.png"), res)
+
+        written = export_triplet_videos(
+            frames_dir, frames_dir, video_name, fps=self._prog_fps,
+            cancel_flag_getter=self.cancel)
+        for p in written:
+            print(f"[CAMERA PATH] wrote -> {p}")

@@ -1,0 +1,138 @@
+"""Checkpoint save / discovery / restore.
+
+Parity target: ``nerf_sandbox/source/train/trainer.py:586-696`` (§2 #16):
+
+* step-tagged files ``checkpoints/ckpt_%07d.ckpt`` + a ``ckpt_latest``
+  symlink (copy fallback on filesystems without symlinks)
+* payload carries step, both model param trees, optimizer state, the full
+  config snapshot, and a save timestamp
+* discovery: regex max-step over ``ckpt_*`` in the checkpoint dir and the
+  experiment root; ``--resume latest|<path>``, ``--auto_resume``,
+  ``--resume_no_optim``
+* resume fast-forwards the validation schedule and the progress-video block
+  cursor (handled by the Trainer from the restored step).
+
+Format: a single ``.npz`` of path-keyed arrays (self-contained; no orbax
+directory layout needed for pytrees this small — ~2.4 M params).  RNG needs
+no checkpointing: the train step derives its key as ``fold_in(seed, step)``
+so restore at step k reproduces the exact stream.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+import shutil
+from datetime import datetime
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+_SEP = "||"
+
+
+def _flatten(tree) -> dict:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = _SEP.join(str(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_like(template, flat: dict, prefix: str):
+    leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves = []
+    for path, leaf in leaves_with_path:
+        key = prefix + _SEP.join(str(p) for p in path)
+        if key in flat:
+            arr = flat[key]
+            new_leaves.append(arr.astype(leaf.dtype) if hasattr(leaf, "dtype") else arr)
+        else:
+            new_leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def ckpt_path(ckpt_dir: Path, step: int) -> Path:
+    return Path(ckpt_dir) / f"ckpt_{step:07d}.ckpt"
+
+
+def save_checkpoint(ckpt_dir, step: int, state, cfg_dict: dict, *,
+                    tag: str | None = None, latest: bool = True,
+                    include_optim: bool = True) -> Path:
+    """Serialise TrainState (+config echo) to one .npz file."""
+    ckpt_dir = Path(ckpt_dir)
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    path = (ckpt_dir / f"{tag}.ckpt") if tag else ckpt_path(ckpt_dir, step)
+
+    payload = {}
+    for name, val in _flatten(state.params_c).items():
+        payload["params_c" + _SEP + name] = val
+    for name, val in _flatten(state.params_f).items():
+        payload["params_f" + _SEP + name] = val
+    if include_optim:
+        for name, val in _flatten(state.opt_state).items():
+            payload["opt" + _SEP + name] = val
+    meta = {"step": int(step),
+            "saved_at": datetime.now().isoformat(timespec="seconds"),
+            "cfg": cfg_dict}
+    payload["__meta__"] = np.frombuffer(
+        json.dumps(meta, default=str).encode(), dtype=np.uint8)
+
+    buf = io.BytesIO()
+    np.savez(buf, **payload)
+    path.write_bytes(buf.getvalue())
+    print(f"[CKPT] saved -> {path}")
+
+    if latest:
+        latest_path = ckpt_dir / "ckpt_latest.ckpt"
+        try:
+            if latest_path.exists() or latest_path.is_symlink():
+                latest_path.unlink()
+            latest_path.symlink_to(path.name)
+        except OSError:
+            shutil.copyfile(path, latest_path)
+    return path
+
+
+_STEP_RE = re.compile(r"(?:ckpt|step)[_-]?(\d+)", re.IGNORECASE)
+
+
+def find_latest_checkpoint(ckpt_dir, out_dir=None) -> Optional[Path]:
+    candidates = []
+    for d in filter(None, [ckpt_dir, out_dir]):
+        d = Path(d)
+        if d.is_dir():
+            candidates += [p for p in d.glob("ckpt_*.ckpt") if not p.is_symlink()]
+    if not candidates:
+        return None
+
+    def step_of(p: Path) -> int:
+        m = _STEP_RE.search(p.name)
+        return int(m.group(1)) if m else -1
+
+    candidates.sort(key=lambda p: (step_of(p), p.stat().st_mtime))
+    return candidates[-1]
+
+
+def load_checkpoint(path, state, *, load_optim: bool = True) -> Tuple[Any, int, dict]:
+    """Restore into the template ``state`` → (new_state, step, cfg_dict)."""
+    path = Path(path)
+    print(f"[CKPT] loading <- {path}")
+    with np.load(path, allow_pickle=False) as zf:
+        flat = {k: zf[k] for k in zf.files}
+    meta = json.loads(bytes(flat.pop("__meta__")).decode())
+    step = int(meta.get("step", 0))
+
+    params_c = _unflatten_like(state.params_c, flat, "params_c" + _SEP)
+    params_f = _unflatten_like(state.params_f, flat, "params_f" + _SEP)
+    opt_state = state.opt_state
+    if load_optim and any(k.startswith("opt" + _SEP) for k in flat):
+        opt_state = _unflatten_like(state.opt_state, flat, "opt" + _SEP)
+
+    import jax.numpy as jnp
+    new_state = state._replace(step=jnp.int32(step), params_c=params_c,
+                               params_f=params_f, opt_state=opt_state)
+    return new_state, step, meta.get("cfg", {})

@@ -1,0 +1,221 @@
+"""The fused, jitted NeRF training step.
+
+Role parity: ``nerf_sandbox/source/train/trainer.py:876-1178``
+(``_train_step`` / ``_train_step_chunked``): coarse stratified+jittered
+samples → coarse forward (with sigma noise) → inverse-CDF fine sampling on
+detached averaged interval weights (+1e-5) → sorted merge → fine forward →
+``MSE(coarse)+MSE(fine)`` → Adam (+ cosine LR, optional grad clip) →
+PSNR from the fine MSE.
+
+TPU-first redesign: ONE compiled XLA program per step containing the ray
+sampling (data/sampler.py), both forward passes, the PDF resample, the loss
+and the optimizer update — batch sharded over the ``data`` mesh axis, params
+replicated, gradient psum inserted by XLA.  The reference's micro-chunk
+gradient accumulation (trainer.py:1015-1178) becomes a ``lax.scan`` over
+equal batch slices inside the same program (loss scaled by 1/m).
+
+RNG is derived per-step as ``fold_in(base_key, step)`` so resume reproduces
+the exact stream without checkpointing the key cursor.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerf_sandbox_tpu.core.sampling import (
+    merge_z_samples, perturb_z_samples, sample_pdf, stratified_samples)
+from nerf_sandbox_tpu.data.sampler import RayBatchSpec, SceneArrays, sample_ray_batch
+from nerf_sandbox_tpu.models.forward import nerf_forward_pass
+from nerf_sandbox_tpu.models.mlp import NeRFConfig
+from nerf_sandbox_tpu.parallel.mesh import MeshPlan, shard_batch_constraint
+
+
+class TrainHyper(NamedTuple):
+    """Static (hashable) training hyper-parameters → one jit specialisation."""
+
+    model: NeRFConfig
+    nc: int = 64
+    nf: int = 128
+    det_fine: bool = False
+    raw_noise_std: float = 1.0
+    sigma_activation: str = "relu"
+    white_bkgd: bool = True
+    infinite_last_bin: bool = True
+    samp_near: float = 2.0
+    samp_far: float = 6.0
+    micro_chunks: int = 0          # >0: grad accumulation via lax.scan
+    pos_include_input: bool = True
+    dir_include_input: bool = True
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray              # int32 scalar — number of completed steps
+    params_c: Any
+    params_f: Any
+    opt_state: Any
+
+
+def mse2psnr(mse):
+    """trainer.py:77-78."""
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
+
+
+def make_lr_schedule(name: str, lr: float, params: dict):
+    """Cosine schedule matching torch CosineAnnealingLR stepped after each
+    optimizer step (trainer.py:81-90): lr(k) = eta_min + (lr0-eta_min)·
+    (1+cos(pi·k/T_max))/2 with k = completed steps."""
+    name = (name or "none").lower()
+    if name in ("none", "constant"):
+        return lr
+    if name == "cosine":
+        T_max = int(params.get("T_max"))
+        eta_min = float(params.get("eta_min", 0.0))
+        return optax.cosine_decay_schedule(
+            init_value=lr, decay_steps=T_max, alpha=eta_min / lr if lr else 0.0)
+    raise ValueError(f"unknown lr scheduler '{name}'")
+
+
+def make_optimizer(lr: float, scheduler: str = "cosine",
+                   scheduler_params: dict | None = None,
+                   grad_clip_norm: float = 0.0) -> optax.GradientTransformation:
+    """One Adam over both models (trainer.py:383-391), optional global-norm
+    clip (trainer.py:719-721)."""
+    schedule = make_lr_schedule(scheduler, lr, scheduler_params or {})
+    tx = optax.adam(schedule)
+    if grad_clip_norm and grad_clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+    return tx
+
+
+def init_train_state(key: jax.Array, hyper: TrainHyper, tx, *,
+                     near: float, far: float,
+                     initial_acc_opacity: float | None = None) -> TrainState:
+    from nerf_sandbox_tpu.models.mlp import init_nerf_params
+    kc, kf = jax.random.split(key)
+    params_c = init_nerf_params(kc, hyper.model, near=near, far=far,
+                                initial_acc_opacity=initial_acc_opacity,
+                                sigma_activation=hyper.sigma_activation)
+    params_f = init_nerf_params(kf, hyper.model, near=near, far=far,
+                                initial_acc_opacity=initial_acc_opacity,
+                                sigma_activation=hyper.sigma_activation)
+    opt_state = tx.init({"c": params_c, "f": params_f})
+    return TrainState(step=jnp.int32(0), params_c=params_c, params_f=params_f,
+                      opt_state=opt_state)
+
+
+def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
+                        pos_bands, dir_bands):
+    """Coarse+fine forward and per-model MSE for one ray (sub-)batch."""
+    B = batch["rgb"].shape[0]
+    k_perturb, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
+
+    z_tmpl = stratified_samples(hyper.samp_near, hyper.samp_far, hyper.nc)
+    zc = perturb_z_samples(k_perturb, jnp.broadcast_to(z_tmpl, (B, hyper.nc)))
+
+    fwd = partial(
+        nerf_forward_pass, pos_bands=pos_bands, dir_bands=dir_bands,
+        pos_include_input=hyper.pos_include_input,
+        dir_include_input=hyper.dir_include_input,
+        white_bkgd=hyper.white_bkgd,
+        ray_norms=batch["rays_d_marching_norm"],
+        viewdirs_world_unit=batch["rays_d_world_unit"],
+        sigma_activation=hyper.sigma_activation,
+        raw_noise_std=hyper.raw_noise_std,
+        infinite_last_bin=hyper.infinite_last_bin)
+
+    comp_c, w_c, _, _ = fwd(params_c, hyper.model, batch["rays_o_marching"],
+                            batch["rays_d_marching_unit"], zc,
+                            noise_key=k_noise_c)
+
+    # Fine sampling from detached interval weights (trainer.py:926-934).
+    bins_mid = 0.5 * (zc[:, 1:] + zc[:, :-1])
+    w_bins = jax.lax.stop_gradient(0.5 * (w_c[:, 1:] + w_c[:, :-1])) + 1e-5
+    zf = sample_pdf(bins_mid, w_bins, hyper.nf, key=k_pdf,
+                    deterministic=hyper.det_fine)
+    z_all = merge_z_samples(zc, jax.lax.stop_gradient(zf))
+
+    comp_f, _, _, _ = fwd(params_f, hyper.model, batch["rays_o_marching"],
+                          batch["rays_d_marching_unit"], z_all,
+                          noise_key=k_noise_f)
+
+    target = jnp.clip(jnp.nan_to_num(batch["rgb"]), 0.0, 1.0)
+    loss_c = jnp.mean((comp_c - target) ** 2)
+    loss_f = jnp.mean((comp_f - target) ** 2)
+    return loss_c, loss_f
+
+
+def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
+                     pos_bands, dir_bands, plan: MeshPlan | None = None,
+                     base_seed: int = 42):
+    """→ jitted ``train_step(state, scene_arrays) -> (state, metrics)``.
+
+    The whole step — sampling, both forwards, PDF resample, loss, Adam — is
+    one XLA program.  ``donate_argnums`` recycles the state buffers in-place.
+    """
+    plan = plan or MeshPlan(mesh=None)
+    base_key = jax.random.PRNGKey(base_seed)
+
+    def loss_fn(params_cf, batch, key):
+        if hyper.micro_chunks and hyper.micro_chunks > 1:
+            m = hyper.micro_chunks
+            B = batch["rgb"].shape[0]
+            assert B % m == 0, f"batch {B} not divisible by micro_chunks {m}"
+            chunked = jax.tree_util.tree_map(
+                lambda x: x.reshape(m, B // m, *x.shape[1:]), batch)
+            keys = jax.random.split(key, m)
+
+            def body(acc, xs):
+                sub_batch, k = xs
+                lc, lf = _coarse_fine_losses(
+                    params_cf["c"], params_cf["f"], sub_batch, k, hyper,
+                    pos_bands, dir_bands)
+                return (acc[0] + lc / m, acc[1] + lf / m), None
+
+            (lc, lf), _ = jax.lax.scan(body, (0.0, 0.0), (chunked, keys))
+        else:
+            lc, lf = _coarse_fine_losses(
+                params_cf["c"], params_cf["f"], batch, key, hyper,
+                pos_bands, dir_bands)
+        return lc + lf, lf
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, scene: SceneArrays):
+        step = state.step + 1                          # 1-based, like the loop
+        key = jax.random.fold_in(base_key, step)
+        k_batch, k_loss = jax.random.split(key)
+
+        batch = sample_ray_batch(k_batch, step, scene, spec)
+        batch = shard_batch_constraint(plan, batch)
+
+        (loss, mse_f), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            {"c": state.params_c, "f": state.params_f}, batch, k_loss)
+
+        # Non-finite loss → skip the update, keep counting (trainer.py:713-716).
+        finite = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        updates, new_opt_state = tx.update(
+            grads, state.opt_state, {"c": state.params_c, "f": state.params_f})
+        # Full skip on non-finite loss: optimizer state is held back too.
+        opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_opt_state, state.opt_state)
+        new_params = optax.apply_updates(
+            {"c": state.params_c, "f": state.params_f}, updates)
+        params_c = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_params["c"], state.params_c)
+        params_f = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(finite, new, old),
+            new_params["f"], state.params_f)
+
+        metrics = {"loss": loss, "psnr": mse2psnr(mse_f), "mse_f": mse_f,
+                   "finite": finite}
+        return TrainState(step, params_c, params_f, opt_state), metrics
+
+    return train_step

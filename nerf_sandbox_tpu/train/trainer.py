@@ -1,0 +1,442 @@
+"""Trainer: end-to-end training orchestration.
+
+Parity target: ``nerf_sandbox/source/train/trainer.py:151-872`` — the same
+lifecycle: loader auto-detect (poses_bounds.npy → LLFF), scene loading with
+val→test→train fallback, near/far resolution (LLFF percentiles | Blender
+2/6 | CLI override), sampler & model construction, Adam + cosine schedule,
+signals, TensorBoard, ValidationRenderer + power-law schedule, startup
+``run_debug.json``, the step loop with resume fast-forwarding, scheduled
+validation + progress blocks, checkpointing, dual ETA (train + predicted
+validation time), and post-training video exports.
+
+TPU-first differences:
+* the hot loop body is ONE jitted XLA program (train/step.py) containing
+  sampling + both forwards + PDF resample + loss + Adam — the host loop
+  only ticks the schedule, logging and checkpoints
+* device metrics are fetched sparsely (every ``log_every`` steps) so the
+  host never blocks the device pipeline on step k's results
+* AMP GradScaler is unnecessary (bf16 on TPU needs no loss scaling); the
+  thermal guard is replaced by an HBM monitor with the same hook shape
+* multi-chip: params replicated, ray batch sharded over the ``data`` mesh.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from dataclasses import asdict
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_sandbox_tpu.config import Config
+from nerf_sandbox_tpu.core.encoding import encoder_out_dim, make_frequency_bands
+from nerf_sandbox_tpu.data.blender_loader import BlenderSceneLoader
+from nerf_sandbox_tpu.data.llff_loader import LLFFSceneLoader
+from nerf_sandbox_tpu.data.sampler import RayBatchSpec, SceneArrays
+from nerf_sandbox_tpu.models.mlp import NeRFConfig, param_count
+from nerf_sandbox_tpu.parallel.mesh import make_mesh
+from nerf_sandbox_tpu.render.renderer import EvalHyper, make_tile_renderer
+from nerf_sandbox_tpu.render.validation import ValidationRenderer
+from nerf_sandbox_tpu.train import checkpoints as ckpt
+from nerf_sandbox_tpu.train.schedule import build_validation_steps, fast_forward
+from nerf_sandbox_tpu.train.step import (
+    TrainHyper, build_train_step, init_train_state, make_optimizer)
+from nerf_sandbox_tpu.utils.debug import dump_run_debug
+from nerf_sandbox_tpu.utils.device_monitor import DeviceMonitor
+from nerf_sandbox_tpu.utils.signals import SignalController, install_signal_handlers
+from nerf_sandbox_tpu.utils.tb import TensorBoardLogger
+
+
+def _fmt_eta(seconds: float) -> str:
+    seconds = max(0.0, float(seconds))
+    h, rem = divmod(int(seconds), 3600)
+    m, s = divmod(rem, 60)
+    return f"{h:02d}:{m:02d}:{s:02d}"
+
+
+class Trainer:
+    def __init__(self, cfg: Config) -> None:
+        self.cfg = cfg
+        self.out_dir = Path(cfg.out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+
+        # ---- data ----
+        kind = (cfg.data_kind or "auto").lower()
+        if kind == "auto":
+            is_llff = (Path(cfg.data_root) / "poses_bounds.npy").exists()
+        else:
+            is_llff = kind == "llff"
+        self.is_llff = is_llff
+        self.data_kind = "llff" if is_llff else "blender"
+
+        if is_llff:
+            self.loader = LLFFSceneLoader(
+                cfg.data_root, downscale=cfg.downscale, white_bkgd=cfg.white_bkgd,
+                bd_factor=cfg.bd_factor, use_llff_holdout=cfg.use_llff_holdout,
+                holdout_every=cfg.holdout_every, holdout_offset=cfg.holdout_offset)
+        else:
+            self.loader = BlenderSceneLoader(
+                cfg.data_root, downscale=cfg.downscale, white_bkgd=cfg.white_bkgd,
+                centering=(cfg.centering or "none"), scene_scale=cfg.scene_scale)
+        self.camera_convention = cfg.camera_convention or \
+            getattr(self.loader, "camera_convention", "opengl")
+
+        self.scene_train = self.loader.load("train")
+        try:
+            self.scene_val = self.loader.load("val")
+        except FileNotFoundError:
+            try:
+                self.scene_val = self.loader.load("test")
+            except FileNotFoundError:
+                self.scene_val = self.scene_train
+        if len(self.scene_val) == 0:
+            self.scene_val = self.scene_train
+
+        # ---- bounds (trainer.py:232-262) ----
+        self.use_ndc = bool(cfg.use_ndc)
+        if is_llff:
+            if cfg.near_world is not None and cfg.far_world is not None:
+                self.near_world, self.far_world = float(cfg.near_world), float(cfg.far_world)
+            else:
+                self.near_world, self.far_world = self.loader.get_global_near_far(
+                    percentile=(cfg.llff_near_percentile, cfg.llff_far_percentile))
+        else:
+            self.near_world = float(cfg.near_world) if cfg.near_world is not None else 2.0
+            self.far_world = float(cfg.far_world) if cfg.far_world is not None else 6.0
+        self.ndc_near_plane_world = (float(cfg.ndc_near_plane_world)
+                                     if cfg.ndc_near_plane_world is not None
+                                     else self.near_world)
+        if self.use_ndc:
+            self.samp_near, self.samp_far = 0.0, 1.0
+        else:
+            self.samp_near, self.samp_far = self.near_world, self.far_world
+
+        print(f"[rays] use_ndc={self.use_ndc} convention={self.camera_convention} "
+              f"ndc_near_plane_world={self.ndc_near_plane_world:.3f} "
+              f"samp=[{self.samp_near:.3f},{self.samp_far:.3f}] "
+              f"world=[{self.near_world:.3f},{self.far_world:.3f}]")
+
+        # ---- mesh ----
+        devices = jax.devices()
+        if cfg.mesh_devices and cfg.mesh_devices > 0:
+            devices = devices[:cfg.mesh_devices]
+        self.plan = make_mesh(devices)
+        print(f"[mesh] {self.plan.n_devices} device(s), "
+              f"backend={jax.default_backend()}")
+
+        # ---- encoders / model config ----
+        self.pos_bands = jnp.asarray(make_frequency_bands(cfg.pos_num_freqs))
+        self.dir_bands = jnp.asarray(make_frequency_bands(cfg.dir_num_freqs))
+        enc_pos_dim = encoder_out_dim(3, cfg.pos_num_freqs, cfg.pos_include_input)
+        enc_dir_dim = encoder_out_dim(3, cfg.dir_num_freqs, cfg.dir_include_input)
+        self.model_cfg = NeRFConfig(
+            enc_pos_dim=enc_pos_dim, enc_dir_dim=enc_dir_dim,
+            n_layers=cfg.n_layers, hidden_dim=cfg.hidden_dim,
+            skip_pos=cfg.skip_pos)
+
+        # ---- sampler spec (vanilla forces N_rand=1024 single-frame/precrop;
+        #      trainer.py:277-306) ----
+        rays_per_batch = 1024 if cfg.vanilla else int(cfg.rays_per_batch)
+        self.scene_arrays = SceneArrays.from_scene(self.scene_train)
+        self.spec = RayBatchSpec(
+            rays_per_batch=rays_per_batch,
+            image_h=self.scene_train.H, image_w=self.scene_train.W,
+            convention=self.camera_convention, as_ndc=self.use_ndc,
+            near_plane=self.ndc_near_plane_world, white_bkgd=cfg.white_bkgd,
+            single_frame=bool(cfg.sample_from_single_frame or
+                              (cfg.vanilla and self.is_llff)),
+            precrop_iters=int(cfg.precrop_iters),
+            precrop_frac=float(cfg.precrop_frac))
+
+        # ---- train hyper + optimizer + state ----
+        self.hyper = TrainHyper(
+            model=self.model_cfg, nc=cfg.nc, nf=cfg.nf, det_fine=cfg.det_fine,
+            raw_noise_std=float(cfg.raw_noise_std),
+            sigma_activation=cfg.sigma_activation, white_bkgd=cfg.white_bkgd,
+            infinite_last_bin=bool(cfg.infinite_last_bin),
+            samp_near=self.samp_near, samp_far=self.samp_far,
+            micro_chunks=int(cfg.train_micro_chunks or 0),
+            pos_include_input=cfg.pos_include_input,
+            dir_include_input=cfg.dir_include_input)
+
+        sched_params = dict(cfg.lr_scheduler_params or {})
+        sched_params.setdefault("T_max", cfg.max_steps)
+        self.tx = make_optimizer(cfg.lr, cfg.lr_scheduler, sched_params,
+                                 grad_clip_norm=cfg.grad_clip_norm)
+        self.lr_info = {"lr": cfg.lr, "scheduler": cfg.lr_scheduler,
+                        "params": sched_params,
+                        "grad_clip_norm": cfg.grad_clip_norm}
+
+        init_acc = (None if cfg.vanilla or not cfg.initial_acc_opacity
+                    else float(cfg.initial_acc_opacity))
+        self.state = init_train_state(
+            jax.random.PRNGKey(cfg.seed), self.hyper, self.tx,
+            near=self.near_world, far=self.far_world,
+            initial_acc_opacity=init_acc)
+        n_params = param_count(self.state.params_c) + param_count(self.state.params_f)
+        print(f"[model] 2x NeRF {cfg.n_layers}x{cfg.hidden_dim} skip@{cfg.skip_pos} "
+              f"enc=({enc_pos_dim},{enc_dir_dim}) params={n_params:,}")
+
+        self.train_step = build_train_step(
+            self.hyper, self.spec, self.tx, self.pos_bands, self.dir_bands,
+            plan=self.plan, base_seed=cfg.seed)
+
+        # ---- eval renderer ----
+        self.eval_hyper = EvalHyper(
+            model=self.model_cfg, nc_eval=cfg.nc, nf_eval=cfg.nf,
+            white_bkgd=cfg.white_bkgd, sigma_activation=cfg.sigma_activation,
+            infinite_last_bin=bool(cfg.infinite_last_bin),
+            samp_near=self.samp_near, samp_far=self.samp_far,
+            pos_include_input=cfg.pos_include_input,
+            dir_include_input=cfg.dir_include_input)
+        self.render_tile = make_tile_renderer(
+            self.eval_hyper, self.pos_bands, self.dir_bands, plan=self.plan)
+
+        # ---- aux services ----
+        self.monitor = DeviceMonitor(enable_throttle=cfg.thermal_throttle,
+                                     check_every=cfg.gpu_temp_check_every)
+        self.signals = SignalController()
+        install_signal_handlers(self.signals)
+        self.tb_logger = TensorBoardLogger(
+            enabled=cfg.use_tb, logdir=cfg.tb_logdir or str(self.out_dir / "tb"),
+            image_max_side=cfg.tb_image_max_side)
+
+        # ---- validation indices + renderer + schedule ----
+        raw_idxs = cfg.val_indices
+        if isinstance(raw_idxs, str) and raw_idxs.strip():
+            self.val_frame_indices = [int(s) for s in raw_idxs.split(",")]
+        elif isinstance(raw_idxs, (list, tuple)):
+            self.val_frame_indices = [int(x) for x in raw_idxs]
+        else:
+            self.val_frame_indices = [0]
+
+        self.valr = ValidationRenderer(
+            scene_val=self.scene_val, out_dir=self.out_dir / "validation",
+            render_tile=self.render_tile, cfg=cfg,
+            near_world=self.near_world, far_world=self.far_world,
+            use_ndc=self.use_ndc,
+            ndc_near_plane_world=self.ndc_near_plane_world,
+            convention=self.camera_convention, tb_logger=self.tb_logger,
+            eval_chunk=int(cfg.eval_chunk),
+            cancel_flag_getter=lambda: self.signals.cancel_render)
+
+        self.val_steps = build_validation_steps(
+            cfg.max_steps, base_every=cfg.val_every,
+            num_val_steps=cfg.num_val_steps, schedule=cfg.val_schedule,
+            power=cfg.val_power)
+        self._val_next_idx = 0
+        self._val_avg_seconds = 0.0
+        self._val_event_durations: list[float] = []
+        if self.val_steps:
+            print(f"[VAL] first validation at step {self.val_steps[0]} "
+                  f"(1/{len(self.val_steps)})")
+
+        self.valr.setup_progress_plan(val_steps=self.val_steps,
+                                      frames_subdir="training_progress")
+
+        # ---- startup debug dump ----
+        try:
+            dump_run_debug(
+                self.out_dir, cfg=cfg, scene=self.scene_train,
+                params_c=self.state.params_c, params_f=self.state.params_f,
+                model_cfg=self.model_cfg, render_tile=self.render_tile,
+                enc_dims={"pos": enc_pos_dim, "dir": enc_dir_dim},
+                near=self.near_world, far=self.far_world, use_ndc=self.use_ndc,
+                ndc_near_plane_world=self.ndc_near_plane_world,
+                convention=self.camera_convention, lr_info=self.lr_info)
+        except Exception as e:
+            print(f"[DEBUG] run_debug dump failed: {e}")
+
+    # ------------------------------------------------------------------
+    # checkpoints
+    # ------------------------------------------------------------------
+
+    @property
+    def ckpt_dir(self) -> Path:
+        d = self.out_dir / "checkpoints"
+        d.mkdir(parents=True, exist_ok=True)
+        return d
+
+    def save_checkpoint(self, step: int, tag: str | None = None,
+                        include_optim: bool = True) -> Path:
+        return ckpt.save_checkpoint(self.ckpt_dir, step, self.state,
+                                    asdict(self.cfg), tag=tag,
+                                    include_optim=include_optim)
+
+    def find_latest_checkpoint(self):
+        return ckpt.find_latest_checkpoint(self.ckpt_dir, self.out_dir)
+
+    def load_checkpoint(self, path, load_optim: bool = True) -> int:
+        self.state, step, _ = ckpt.load_checkpoint(path, self.state,
+                                                   load_optim=load_optim)
+        return step
+
+    def load_latest_checkpoint(self, load_optim: bool = True) -> int:
+        path = self.find_latest_checkpoint()
+        if path is None:
+            print("[CKPT] no checkpoint found to resume from")
+            return 0
+        return self.load_checkpoint(path, load_optim=load_optim)
+
+    # ------------------------------------------------------------------
+    # training loop
+    # ------------------------------------------------------------------
+
+    def _run_validation(self, step: int) -> None:
+        t0 = time.perf_counter()
+        _, metrics = self.valr.render_indices_at_step(
+            step, self.val_frame_indices, self.state.params_c,
+            self.state.params_f, use_mask="auto",
+            res_scale=float(self.cfg.val_res_scale),
+            log_to_tb=bool(self.cfg.use_tb))
+        if metrics.get("psnr_mean") is not None:
+            print(f"[VAL] step={step} mean PSNR={metrics['psnr_mean']:.2f} dB "
+                  f"over {len(self.val_frame_indices)} frame(s)")
+        if self.cfg.progress_video_during_training:
+            start, count = self.valr.render_progress_block(
+                self.state.params_c, self.state.params_f)
+            if count > 0:
+                print(f"[PROGRESS] wrote progress frames [{start}..{start+count-1}]")
+        dur = time.perf_counter() - t0
+        self._val_event_durations.append(dur)
+        recent = self._val_event_durations[-10:]
+        self._val_avg_seconds = sum(recent) / max(1, len(recent))
+
+    def train(self) -> None:
+        cfg = self.cfg
+        interrupted = False
+
+        # ---- resume (trainer.py:670-696) ----
+        resume_from = Path(cfg.resume_path) if cfg.resume_path else None
+        if resume_from is None and cfg.auto_resume and int(self.state.step) == 0:
+            resume_from = self.find_latest_checkpoint()
+        if resume_from and Path(resume_from).exists():
+            self.load_checkpoint(resume_from, load_optim=not cfg.resume_no_optim)
+            print(f"[CKPT] Resuming from step {int(self.state.step) + 1} "
+                  f"({Path(resume_from).name})")
+        # state.step also reflects a checkpoint loaded earlier via --resume.
+        start_step = int(self.state.step) + 1
+        if start_step > 1 and cfg.progress_video_during_training:
+            self.valr.resume_to_step(start_step - 1)
+
+        self._val_next_idx = fast_forward(self.val_steps, start_step)
+        nxt = (self.val_steps[self._val_next_idx]
+               if self._val_next_idx < len(self.val_steps) else None)
+        if nxt is not None:
+            print(f"[VAL] next validation at step {nxt} "
+                  f"({self._val_next_idx + 1}/{len(self.val_steps)})")
+
+        max_steps = int(cfg.max_steps)
+        log_every = max(1, int(cfg.log_every))
+        ckpt_every = max(1, int(cfg.ckpt_every))
+
+        eta_window = deque(maxlen=20)
+        last_log_time = time.time()
+        last_log_step = start_step - 1
+        metrics = None
+
+        profiling = False
+        if cfg.profile_dir:
+            jax.profiler.start_trace(cfg.profile_dir)
+            profiling = True
+
+        for step in range(start_step, max_steps + 1):
+            self.state, metrics = self.train_step(self.state, self.scene_arrays)
+
+            # signals (checked every step; cheap — host-only flags)
+            if self.signals.sigusr1:
+                try:
+                    self.save_checkpoint(step, tag=f"pause_step_{step}")
+                except Exception as e:
+                    print(f"[PAUSE] checkpoint save failed: {e}")
+                self.signals.sigusr1 = False
+            if self.signals.sigint:
+                try:
+                    self.save_checkpoint(step, tag=f"interrupt_step_{step}")
+                except Exception as e:
+                    print(f"[INT] checkpoint save failed: {e}")
+                print("[INT] Exiting training loop.")
+                interrupted = True
+                break
+
+            # logging (pulls device values only here)
+            if step % log_every == 0:
+                loss_val = float(metrics["loss"])
+                psnr_val = float(metrics["psnr"])
+                if not bool(metrics["finite"]):
+                    print(f"[WARN] Non-finite loss at step {step}; update skipped.")
+                now = time.time()
+                steps_delta = max(1, step - last_log_step)
+                sec_per_step = (now - last_log_time) / steps_delta
+                eta_window.append(sec_per_step)
+                avg = sum(eta_window) / len(eta_window)
+                eta_train = (max_steps - step) * avg
+                rem_val = len(self.val_steps) - self._val_next_idx
+                eta_total = eta_train + rem_val * self._val_avg_seconds
+                lr_now = self.lr_info["lr"]
+                try:
+                    from nerf_sandbox_tpu.train.step import make_lr_schedule
+                    sched = make_lr_schedule(cfg.lr_scheduler, cfg.lr,
+                                             self.lr_info["params"])
+                    lr_now = float(sched(step - 1)) if callable(sched) else sched
+                except Exception:
+                    pass
+                print(f"[{step:7d}] loss={loss_val:.6f} psnr={psnr_val:.2f} "
+                      f"lr={lr_now:.2e} ({sec_per_step:.3f}s/step avg {avg:.3f}s) "
+                      f"rays/s={self.spec.rays_per_batch / max(avg, 1e-9):,.0f} "
+                      f"ETA(train) {_fmt_eta(eta_train)} | ETA(total) {_fmt_eta(eta_total)}")
+                self.tb_logger.add_scalar("train/loss", loss_val, step)
+                self.tb_logger.add_scalar("train/psnr", psnr_val, step)
+                self.tb_logger.add_scalar("train/lr", float(lr_now), step)
+                self.monitor.log_to_tb(self.tb_logger, step)
+                last_log_time, last_log_step = now, step
+                self.monitor.guard(step)
+
+            # scheduled validation
+            if (self._val_next_idx < len(self.val_steps)
+                    and step == self.val_steps[self._val_next_idx]):
+                self._run_validation(step)
+                self._val_next_idx += 1
+                if self._val_next_idx < len(self.val_steps):
+                    print(f"[VAL] next validation at step "
+                          f"{self.val_steps[self._val_next_idx]} "
+                          f"({self._val_next_idx + 1}/{len(self.val_steps)})")
+                else:
+                    print("[VAL] schedule complete.")
+
+            if step % ckpt_every == 0:
+                self.save_checkpoint(step)
+
+        if profiling:
+            jax.profiler.stop_trace()
+
+        if interrupted:
+            self.tb_logger.close()
+            return
+
+        # ---- post-training exports (trainer.py:842-872) ----
+        try:
+            self.valr.export_val_videos_for_indices(
+                self.val_frame_indices, fps=int(cfg.path_fps))
+        except Exception as e:
+            print(f"[VAL-VIDEO] export failed: {e}")
+
+        if cfg.render_path_after:
+            try:
+                print("[CAMERA PATH] Rendering final camera-path video...")
+                self.valr.render_camera_path_video(
+                    self.state.params_c, self.state.params_f,
+                    video_name="camera_path", overwrite=True)
+            except Exception as e:
+                print(f"[CAMERA PATH] Failed: {e}")
+
+        if cfg.progress_video_during_training:
+            try:
+                self.valr.export_progress_video(video_name="training_progress")
+            except Exception as e:
+                print(f"[PROGRESS] Video assembly failed: {e}")
+
+        self.tb_logger.close()

@@ -1,0 +1,63 @@
+"""Device health monitor (the TPU-side replacement for the GPU thermal guard).
+
+Role parity: ``nerf_sandbox/source/utils/gpu_thermal.py:29-90``
+(``GpuThermalManager``) — the reference polls pynvml for laptop-GPU
+temperature and can raise micro-chunking / sleep when hot.  TPU pods are
+datacenter-managed, so there is nothing to throttle; what IS useful on TPU
+is memory-pressure telemetry.  This monitor keeps the same interface shape
+(``guard()`` + ``log_to_tb``) and reports per-device HBM usage from
+``jax.local_devices()[i].memory_stats()`` instead of a temperature.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+
+class DeviceMonitor:
+    def __init__(self, enable_throttle: bool = False, check_every: int = 20,
+                 **_legacy_thermal_knobs) -> None:
+        # legacy thermal knobs (gpu_temp_threshold, cooldown, ...) accepted
+        # and ignored — TPUs need no thermal guard.
+        self.enable_throttle = bool(enable_throttle)
+        self.check_every = max(1, int(check_every))
+        self._warned = False
+
+    def hbm_stats(self) -> Optional[dict]:
+        try:
+            dev = jax.local_devices()[0]
+            stats = dev.memory_stats()
+            if not stats:
+                return None
+            return {
+                "bytes_in_use": stats.get("bytes_in_use", 0),
+                "bytes_limit": stats.get("bytes_limit", 0),
+                "peak_bytes_in_use": stats.get("peak_bytes_in_use", 0),
+            }
+        except Exception:
+            return None
+
+    def guard(self, step: int) -> None:
+        """Per-step hook (kept for interface parity; warns once if HBM is
+        nearly exhausted — the TPU analogue of the thermal throttle)."""
+        if step % self.check_every:
+            return
+        s = self.hbm_stats()
+        if s and s["bytes_limit"] and not self._warned:
+            frac = s["bytes_in_use"] / s["bytes_limit"]
+            if frac > 0.95:
+                print(f"[DEVICE] HBM {frac*100:.1f}% full "
+                      f"({s['bytes_in_use']/2**30:.2f} GiB) — consider "
+                      f"--micro_chunks or a smaller --eval_chunk")
+                self._warned = True
+
+    def log_to_tb(self, tb_logger, step: int) -> None:
+        s = self.hbm_stats()
+        if s is None:
+            return
+        tb_logger.add_scalar("sys/hbm_bytes_in_use", s["bytes_in_use"], step)
+        if s["bytes_limit"]:
+            tb_logger.add_scalar("sys/hbm_utilisation",
+                                 s["bytes_in_use"] / s["bytes_limit"], step)

@@ -1,0 +1,68 @@
+"""Checkpoint save / discovery / restore round-trip tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_sandbox_tpu.models.mlp import NeRFConfig
+from nerf_sandbox_tpu.train.checkpoints import (
+    find_latest_checkpoint, load_checkpoint, save_checkpoint)
+from nerf_sandbox_tpu.train.step import TrainHyper, init_train_state, make_optimizer
+
+
+def _state(seed=0):
+    model = NeRFConfig(enc_pos_dim=63, enc_dir_dim=27, n_layers=2,
+                       hidden_dim=32, skip_pos=1)
+    hyper = TrainHyper(model=model, nc=8, nf=8)
+    tx = make_optimizer(1e-3, "none", {})
+    return init_train_state(jax.random.PRNGKey(seed), hyper, tx,
+                            near=2.0, far=6.0), tx
+
+
+def test_roundtrip(tmp_path):
+    state, _ = _state()
+    state = state._replace(step=jnp.int32(123))
+    save_checkpoint(tmp_path, 123, state, {"lr": 5e-4})
+
+    fresh, _ = _state(seed=99)
+    restored, step, cfg = load_checkpoint(tmp_path / "ckpt_0000123.ckpt", fresh)
+    assert step == 123 and cfg["lr"] == 5e-4
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params_c),
+                    jax.tree_util.tree_leaves(state.params_c)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == 123
+
+
+def test_latest_discovery_and_symlink(tmp_path):
+    state, _ = _state()
+    save_checkpoint(tmp_path, 100, state, {})
+    save_checkpoint(tmp_path, 250, state, {})
+    save_checkpoint(tmp_path, 50, state, {})
+    latest = find_latest_checkpoint(tmp_path)
+    assert latest.name == "ckpt_0000250.ckpt"
+    assert (tmp_path / "ckpt_latest.ckpt").exists()
+
+
+def test_tagged_checkpoint(tmp_path):
+    state, _ = _state()
+    p = save_checkpoint(tmp_path, 7, state, {}, tag="interrupt_step_7")
+    assert p.name == "interrupt_step_7.ckpt"
+
+
+def test_resume_no_optim(tmp_path):
+    state, tx = _state()
+    # perturb optimizer state by one update so it differs from fresh
+    grads = jax.tree_util.tree_map(
+        jnp.ones_like, {"c": state.params_c, "f": state.params_f})
+    _, opt_state = tx.update(grads, state.opt_state,
+                             {"c": state.params_c, "f": state.params_f})
+    state = state._replace(opt_state=opt_state)
+    save_checkpoint(tmp_path, 5, state, {})
+
+    fresh, _ = _state(seed=1)
+    restored, _, _ = load_checkpoint(tmp_path / "ckpt_0000005.ckpt", fresh,
+                                     load_optim=False)
+    # opt state untouched (left as the fresh template's)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.opt_state),
+                    jax.tree_util.tree_leaves(fresh.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

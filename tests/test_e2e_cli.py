@@ -1,0 +1,88 @@
+"""End-to-end CLI smoke tests on a synthetic tiny scene (mirrors the
+reference's trainer smoke tests, tests/unit/test_trainer.py intent)."""
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.test_loaders import _make_blender, _make_llff
+
+
+def _run_cli(argv):
+    from nerf_sandbox_tpu.scripts.train_nerf import main
+    main(argv)
+
+
+@pytest.fixture(scope="module")
+def blender_scene(tmp_path_factory):
+    return _make_blender(tmp_path_factory.mktemp("data") / "scene",
+                         n_frames=3, size=16)
+
+
+def test_train_validate_checkpoint_resume(blender_scene, tmp_path):
+    out = tmp_path / "exp"
+    argv = ["--data_root", str(blender_scene), "--out_dir", str(out),
+            "--data_kind", "blender", "--max_steps", "10",
+            "--rays_per_batch", "64", "--nc", "8", "--nf", "8",
+            "--num_val_steps", "2", "--ckpt_every", "5", "--log_every", "5",
+            "--white_bkgd", "true", "--infinite_last_bin", "true",
+            "--progress_video_during_training", "--progress_frames", "4",
+            "--eval_chunk", "256"]
+    _run_cli(argv)
+
+    # checkpoints written
+    assert (out / "checkpoints" / "ckpt_0000010.ckpt").exists()
+    assert (out / "checkpoints" / "ckpt_latest.ckpt").exists()
+    # run_debug.json written with sane probe results
+    dbg = json.loads((out / "run_debug.json").read_text())
+    assert dbg["forward_probe"]["rgb_finite"]
+    assert dbg["forward_probe"]["acc_in_01"]
+    # validation artifacts (step-tagged triplets)
+    val_root = out / "validation" / "val_idx0000"
+    assert list((val_root / "rgb").glob("step_*.png"))
+    assert list((val_root / "depth").glob("step_*.png"))
+    # progress frames exist
+    prog = out / "validation" / "training_progress"
+    assert list((prog / "rgb").glob("rgb_frame_*.png"))
+    # per-index videos assembled (mp4 or gif fallback)
+    vids = list(val_root.parent.glob("val_idx0000/val_idx0000_rgb.*"))
+    assert vids, "expected a val time-lapse video"
+
+    # ---- resume: continue to 14 steps ----
+    argv_resume = argv.copy()
+    argv_resume[argv_resume.index("--max_steps") + 1] = "14"
+    _run_cli(argv_resume + ["--resume", "latest"])
+    assert (out / "checkpoints" / "ckpt_0000014.ckpt").exists() or \
+        list((out / "checkpoints").glob("ckpt_00000*.ckpt"))
+
+
+def test_render_only(blender_scene, tmp_path):
+    out = tmp_path / "exp2"
+    base = ["--data_root", str(blender_scene), "--out_dir", str(out),
+            "--data_kind", "blender", "--max_steps", "4",
+            "--rays_per_batch", "32", "--nc", "4", "--nf", "4",
+            "--num_val_steps", "1", "--ckpt_every", "4", "--log_every", "2",
+            "--progress_frames", "2", "--eval_chunk", "128"]
+    _run_cli(base)
+    _run_cli(base + ["--resume", "latest", "--render_only"])
+    ro = out / "render_only" / "camera_path"
+    assert list((ro / "rgb").glob("rgb_frame_*.png"))
+
+
+def test_llff_ndc_smoke(tmp_path):
+    root = _make_llff(tmp_path / "fern", n=5, H=12, W=16)
+    out = tmp_path / "exp_llff"
+    _run_cli(["--data_root", str(root), "--out_dir", str(out),
+              "--data_kind", "llff", "--use_ndc", "--max_steps", "4",
+              "--rays_per_batch", "32", "--nc", "4", "--nf", "4",
+              "--num_val_steps", "1", "--ckpt_every", "10", "--log_every", "2",
+              "--progress_frames", "2", "--eval_chunk", "128",
+              "--sample_from_single_frame", "--precrop_iters", "2",
+              "--precrop_frac", "0.5"])
+    dbg = json.loads((out / "run_debug.json").read_text())
+    assert dbg["scene"]["use_ndc"] is True
+    # NDC sanity entry present
+    assert any(r["as_ndc"] for r in dbg["ray_sanity"])
