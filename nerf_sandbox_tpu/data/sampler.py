@@ -124,8 +124,15 @@ def sample_ray_batch(key: jax.Array, step: jnp.ndarray, scene: SceneArrays,
     else:
         rgb = pix
 
-    Ks = scene.Ks[fids]                                            # (B, 3, 3)
-    c2ws = scene.c2ws[fids]                                        # (B, 3, 4)
+    # Per-ray camera lookup as a one-hot contraction: row gathers lower to
+    # slow serialized loads on TPU, while an (B,N)x(N,21) matmul is free at
+    # these sizes (N = #frames).
+    oh = jax.nn.one_hot(fids, n_frames, dtype=jnp.float32)         # (B, N)
+    cams = jnp.concatenate([scene.Ks.reshape(n_frames, 9),
+                            scene.c2ws.reshape(n_frames, 12)], axis=-1)
+    cam_rows = oh @ cams                                           # (B, 21)
+    Ks = cam_rows[:, :9].reshape(-1, 3, 3)                         # (B, 3, 3)
+    c2ws = cam_rows[:, 9:].reshape(-1, 3, 4)                       # (B, 3, 4)
     pixels_xy = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], -1)
 
     ray_fn = partial(get_camera_rays, image_h=spec.image_h, image_w=spec.image_w,

@@ -65,14 +65,16 @@ def nerf_forward_pass(
         vdirs = rays_d_unit
     vdirs = jnp.broadcast_to(vdirs[:, None, :], pts.shape)                    # (B,N,3)
 
-    enc_pos = positional_encoding(
-        pts.reshape(-1, 3).astype(compute_dtype), pos_bands,
-        include_input=pos_include_input)
-    enc_dir = positional_encoding(
-        vdirs.reshape(-1, 3).astype(compute_dtype), dir_bands,
-        include_input=dir_include_input)
+    # Encode in fp32 (sin/cos of large 2^k x args need fp32 mantissa), then
+    # run the MLP in compute_dtype (bf16 on TPU = the AMP-equivalent mode).
+    enc_pos = positional_encoding(pts.reshape(-1, 3), pos_bands,
+                                  include_input=pos_include_input)
+    enc_dir = positional_encoding(vdirs.reshape(-1, 3), dir_bands,
+                                  include_input=dir_include_input)
 
-    out = nerf_apply(params, cfg, enc_pos, enc_dir)                           # (Q,4)
+    mlp_dtype = None if compute_dtype == jnp.float32 else compute_dtype
+    out = nerf_apply(params, cfg, enc_pos, enc_dir,
+                     compute_dtype=mlp_dtype)                                 # (Q,4)
     rgb = jax.nn.sigmoid(out[..., :3])
     sigma = out[..., 3]
 

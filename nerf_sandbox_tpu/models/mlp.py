@@ -122,20 +122,37 @@ def init_nerf_params(
 
 
 def nerf_apply(params: Dict[str, Any], cfg: NeRFConfig, enc_pos: jnp.ndarray,
-               enc_dir: jnp.ndarray) -> jnp.ndarray:
-    """Forward pass → (Q, 4) raw [r, g, b, sigma] logits (mlps.py:192-278)."""
-    h = enc_pos
+               enc_dir: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """Forward pass → (Q, 4) raw [r, g, b, sigma] logits (mlps.py:192-278).
+
+    ``compute_dtype=jnp.bfloat16`` runs the trunk matmuls and activations in
+    bf16 (params are cast per-use; master params stay fp32).  This is the
+    TPU analogue of the reference's fp16 AMP autocast (trainer.py:396-397,
+    899): halves HBM activation traffic and doubles MXU rate.  Heads return
+    fp32 logits either way.
+    """
+    ct = compute_dtype
+
+    def lin(x, layer):
+        w, b = layer["w"], layer["b"]
+        if ct is not None:
+            x, w, b = x.astype(ct), w.astype(ct), b.astype(ct)
+        return x @ w + b
+
+    h = enc_pos if ct is None else enc_pos.astype(ct)
+    enc_pos_c = h
     for idx, layer in enumerate(params["trunk"]):
         if idx == cfg.skip_pos:
-            h = jnp.concatenate([h, enc_pos], axis=-1)
-        h = jax.nn.relu(h @ layer["w"] + layer["b"])
+            h = jnp.concatenate([h, enc_pos_c], axis=-1)
+        h = jax.nn.relu(lin(h, layer))
 
-    sigma_raw = h @ params["sigma_out"]["w"] + params["sigma_out"]["b"]       # (Q,1)
-    feature = h @ params["feature"]["w"] + params["feature"]["b"]             # (Q,H)
+    sigma_raw = lin(h, params["sigma_out"]).astype(jnp.float32)               # (Q,1)
+    feature = lin(h, params["feature"])                                       # (Q,H)
 
-    color_in = jnp.concatenate([feature, enc_dir], axis=-1)
-    color_h = jax.nn.relu(color_in @ params["color_fc"]["w"] + params["color_fc"]["b"])
-    color_raw = color_h @ params["color_out"]["w"] + params["color_out"]["b"]  # (Q,3)
+    enc_dir_c = enc_dir if ct is None else enc_dir.astype(ct)
+    color_in = jnp.concatenate([feature, enc_dir_c], axis=-1)
+    color_h = jax.nn.relu(lin(color_in, params["color_fc"]))
+    color_raw = lin(color_h, params["color_out"]).astype(jnp.float32)         # (Q,3)
 
     return jnp.concatenate([color_raw, sigma_raw], axis=-1)
 

@@ -44,6 +44,7 @@ class EvalHyper(NamedTuple):
     perturb: bool = False
     pos_include_input: bool = True
     dir_include_input: bool = True
+    compute_dtype: str = "bfloat16"
 
 
 def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
@@ -72,7 +73,8 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
             white_bkgd=hyper.white_bkgd, ray_norms=ray_norms,
             viewdirs_world_unit=viewdirs,
             sigma_activation=hyper.sigma_activation,
-            infinite_last_bin=hyper.infinite_last_bin)
+            infinite_last_bin=hyper.infinite_last_bin,
+            compute_dtype=jnp.dtype(hyper.compute_dtype))
 
         comp_c, w_c, acc_c, depth_c = fwd(params_c, hyper.model, rays_o,
                                           rays_d_unit, z)

@@ -51,6 +51,7 @@ class TrainHyper(NamedTuple):
     micro_chunks: int = 0          # >0: grad accumulation via lax.scan
     pos_include_input: bool = True
     dir_include_input: bool = True
+    compute_dtype: str = "bfloat16"   # MLP matmul dtype (AMP-equivalent)
 
 
 class TrainState(NamedTuple):
@@ -126,7 +127,8 @@ def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
         viewdirs_world_unit=batch["rays_d_world_unit"],
         sigma_activation=hyper.sigma_activation,
         raw_noise_std=hyper.raw_noise_std,
-        infinite_last_bin=hyper.infinite_last_bin)
+        infinite_last_bin=hyper.infinite_last_bin,
+        compute_dtype=jnp.dtype(hyper.compute_dtype))
 
     comp_c, w_c, _, _ = fwd(params_c, hyper.model, batch["rays_o_marching"],
                             batch["rays_d_marching_unit"], zc,
@@ -151,11 +153,17 @@ def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
 
 def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
                      pos_bands, dir_bands, plan: MeshPlan | None = None,
-                     base_seed: int = 42):
+                     base_seed: int = 42, scan_steps: int = 0):
     """→ jitted ``train_step(state, scene_arrays) -> (state, metrics)``.
 
     The whole step — sampling, both forwards, PDF resample, loss, Adam — is
     one XLA program.  ``donate_argnums`` recycles the state buffers in-place.
+
+    ``scan_steps > 1`` wraps the step in a ``lax.scan`` so ONE device
+    dispatch advances that many optimizer steps (amortising host/launch
+    overhead — the per-step dispatch through the runtime costs more than
+    the 1024-ray compute itself); returned metrics are those of the LAST
+    step in the chunk plus the chunk-mean loss.
     """
     plan = plan or MeshPlan(mesh=None)
     base_key = jax.random.PRNGKey(base_seed)
@@ -183,8 +191,7 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
                 pos_bands, dir_bands)
         return lc + lf, lf
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, scene: SceneArrays):
+    def step_core(state: TrainState, scene: SceneArrays):
         step = state.step + 1                          # 1-based, like the loop
         key = jax.random.fold_in(base_key, step)
         k_batch, k_loss = jax.random.split(key)
@@ -218,4 +225,18 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
                    "finite": finite}
         return TrainState(step, params_c, params_f, opt_state), metrics
 
-    return train_step
+    if scan_steps and scan_steps > 1:
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_chunk(state: TrainState, scene: SceneArrays):
+            def body(st, _):
+                st, m = step_core(st, scene)
+                return st, m["loss"]
+            new_state, losses = jax.lax.scan(body, state, None,
+                                             length=scan_steps - 1)
+            new_state, metrics = step_core(new_state, scene)
+            metrics["loss_mean"] = (jnp.sum(losses) + metrics["loss"]) / scan_steps
+            return new_state, metrics
+
+        return train_chunk
+
+    return jax.jit(step_core, donate_argnums=(0,))

@@ -160,7 +160,8 @@ class Trainer:
             samp_near=self.samp_near, samp_far=self.samp_far,
             micro_chunks=int(cfg.train_micro_chunks or 0),
             pos_include_input=cfg.pos_include_input,
-            dir_include_input=cfg.dir_include_input)
+            dir_include_input=cfg.dir_include_input,
+            compute_dtype=str(cfg.compute_dtype))
 
         sched_params = dict(cfg.lr_scheduler_params or {})
         sched_params.setdefault("T_max", cfg.max_steps)
@@ -191,7 +192,8 @@ class Trainer:
             infinite_last_bin=bool(cfg.infinite_last_bin),
             samp_near=self.samp_near, samp_far=self.samp_far,
             pos_include_input=cfg.pos_include_input,
-            dir_include_input=cfg.dir_include_input)
+            dir_include_input=cfg.dir_include_input,
+            compute_dtype=str(cfg.compute_dtype))
         self.render_tile = make_tile_renderer(
             self.eval_hyper, self.pos_bands, self.dir_bands, plan=self.plan)
 
