@@ -48,6 +48,7 @@ def nerf_forward_pass(
     noise_key: jax.Array | None = None,
     infinite_last_bin: bool = False,
     compute_dtype=jnp.float32,
+    use_pallas: bool = False,
 ):
     """Returns (composite_rgb (B,3), weights (B,N), acc (B,1), depth (B,1))."""
     B, N = z_vals.shape
@@ -72,9 +73,13 @@ def nerf_forward_pass(
     enc_dir = positional_encoding(vdirs.reshape(-1, 3), dir_bands,
                                   include_input=dir_include_input)
 
-    mlp_dtype = None if compute_dtype == jnp.float32 else compute_dtype
-    out = nerf_apply(params, cfg, enc_pos, enc_dir,
-                     compute_dtype=mlp_dtype)                                 # (Q,4)
+    if use_pallas:
+        from nerf_sandbox_tpu.ops.fused_mlp import fused_nerf_apply
+        out = fused_nerf_apply(params, cfg, enc_pos, enc_dir)                 # (Q,4)
+    else:
+        mlp_dtype = None if compute_dtype == jnp.float32 else compute_dtype
+        out = nerf_apply(params, cfg, enc_pos, enc_dir,
+                         compute_dtype=mlp_dtype)                             # (Q,4)
     rgb = jax.nn.sigmoid(out[..., :3])
     sigma = out[..., 3]
 

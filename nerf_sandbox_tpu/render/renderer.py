@@ -45,6 +45,9 @@ class EvalHyper(NamedTuple):
     pos_include_input: bool = True
     dir_include_input: bool = True
     compute_dtype: str = "bfloat16"
+    # Fused Pallas MLP for eval (inference-only; ties XLA on v5e — kept as
+    # the foundation for deeper fusion; see ops/fused_mlp.py).
+    use_pallas: bool = False
 
 
 def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
@@ -74,7 +77,8 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
             viewdirs_world_unit=viewdirs,
             sigma_activation=hyper.sigma_activation,
             infinite_last_bin=hyper.infinite_last_bin,
-            compute_dtype=jnp.dtype(hyper.compute_dtype))
+            compute_dtype=jnp.dtype(hyper.compute_dtype),
+            use_pallas=hyper.use_pallas)
 
         comp_c, w_c, acc_c, depth_c = fwd(params_c, hyper.model, rays_o,
                                           rays_d_unit, z)

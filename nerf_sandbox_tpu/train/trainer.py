@@ -193,7 +193,8 @@ class Trainer:
             samp_near=self.samp_near, samp_far=self.samp_far,
             pos_include_input=cfg.pos_include_input,
             dir_include_input=cfg.dir_include_input,
-            compute_dtype=str(cfg.compute_dtype))
+            compute_dtype=str(cfg.compute_dtype),
+            use_pallas=self._pallas_eval_ok())
         self.render_tile = make_tile_renderer(
             self.eval_hyper, self.pos_bands, self.dir_bands, plan=self.plan)
 
@@ -251,6 +252,14 @@ class Trainer:
                 convention=self.camera_convention, lr_info=self.lr_info)
         except Exception as e:
             print(f"[DEBUG] run_debug dump failed: {e}")
+
+    def _pallas_eval_ok(self) -> bool:
+        """Fused Pallas MLP for eval renders: only when requested, on a real
+        TPU backend, and the architecture is in the fusable family."""
+        from nerf_sandbox_tpu.ops.fused_mlp import fusable, pallas_available
+        return bool(self.cfg.use_pallas and pallas_available()
+                    and fusable(self.model_cfg)
+                    and self.cfg.pos_include_input and self.cfg.dir_include_input)
 
     # ------------------------------------------------------------------
     # checkpoints
