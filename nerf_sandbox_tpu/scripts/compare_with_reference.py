@@ -1,0 +1,245 @@
+"""Parity harness: compare this JAX framework against the PyTorch reference.
+
+Role parity: ``nerf_sandbox/source/scripts/compare_nerf_repos.py`` (the
+reference compares itself against bmild nerf-pytorch; we compare against the
+reference itself — the rebuild's golden oracle, SURVEY.md §4):
+
+* loader parity: intrinsics + poses on a synthetic Blender scene
+* camera-ray parity (world + NDC) per convention
+* deterministic ``sample_pdf`` parity
+* MLP architecture table + tied-weight forward parity
+  (torch ``state_dict`` → our pytree)
+* integrator parity (``volume_render_rays``)
+* end-to-end tied-weight forward-pass RGB parity
+* OK/WARN/FAIL grading + JSON report
+
+Run (needs the reference checkout + torch, CPU only):
+
+    python -m nerf_sandbox_tpu.scripts.compare_with_reference \
+        --reference_path /root/reference --out report.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+# thresholds in the spirit of compare_nerf_repos.py:96-104
+OK, WARN = 1e-5, 1e-3
+
+
+def _grade(name: str, diff: float, ok=OK, warn=WARN):
+    status = "OK" if diff <= ok else ("WARN" if diff <= warn else "FAIL")
+    print(f"  [{status:4s}] {name}: max|Δ| = {diff:.3e}")
+    return {"name": name, "max_abs_diff": float(diff), "status": status}
+
+
+def _make_blender_scene(root: Path, n=3, size=16):
+    import imageio.v2 as imageio
+    (root / "train").mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(0)
+    frames = []
+    for i in range(n):
+        img = rng.randint(0, 255, (size, size, 4), np.uint8)
+        imageio.imwrite(root / "train" / f"r_{i}.png", img)
+        th = 0.3 * i
+        c2w = np.eye(4)
+        c2w[:3, :3] = [[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                       [-np.sin(th), 0, np.cos(th)]]
+        c2w[:3, 3] = np.asarray(c2w[:3, :3]) @ np.array([0.2, -0.1, 4.0])
+        frames.append({"file_path": f"./train/r_{i}",
+                       "transform_matrix": c2w.tolist()})
+    (root / "transforms_train.json").write_text(
+        json.dumps({"camera_angle_x": 0.6911, "frames": frames}))
+    return root
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("JAX-vs-PyTorch-reference parity harness")
+    ap.add_argument("--reference_path", type=str, default="/root/reference")
+    ap.add_argument("--data_root", type=str, default=None,
+                    help="Blender scene dir; synthetic tmp scene if omitted")
+    ap.add_argument("--out", type=str, default="parity_report.json")
+    ap.add_argument("--rays", type=int, default=256)
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+
+    sys.path.insert(0, args.reference_path)
+    try:
+        import torch
+        from nerf_sandbox.source.utils.ray_utils import get_camera_rays as ref_rays
+        from nerf_sandbox.source.utils.sampling_utils import sample_pdf as ref_pdf
+        from nerf_sandbox.source.utils.render_utils import (
+            volume_render_rays as ref_vr, nerf_forward_pass as ref_fwd)
+        from nerf_sandbox.source.models.encoders import PositionalEncoder as RefEnc
+        from nerf_sandbox.source.models.mlps import NeRF as RefNeRF
+        from nerf_sandbox.source.data.loaders.blender_loader import (
+            BlenderSceneLoader as RefBlender)
+    except Exception as e:
+        print(f"FATAL: cannot import the PyTorch reference from "
+              f"{args.reference_path}: {e}")
+        return 2
+
+    from nerf_sandbox_tpu.core.rays import get_camera_rays
+    from nerf_sandbox_tpu.core.sampling import sample_pdf
+    from nerf_sandbox_tpu.core.integrator import volume_render_rays
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+    from nerf_sandbox_tpu.data.blender_loader import BlenderSceneLoader
+    from nerf_sandbox_tpu.models.forward import nerf_forward_pass
+    from nerf_sandbox_tpu.models.mlp import (
+        NeRFConfig, params_from_torch_state_dict, trunk_in_dims)
+
+    results = []
+    rng = np.random.RandomState(0)
+
+    # ---------------- 1. loader parity ----------------
+    print("[1] loader parity (Blender)")
+    if args.data_root:
+        root = Path(args.data_root)
+    else:
+        root = _make_blender_scene(Path(tempfile.mkdtemp(prefix="parity_")) / "scene")
+    ref_scene = RefBlender(root, downscale=1, white_bkgd=True).load("train")
+    my_scene = BlenderSceneLoader(root, downscale=1, white_bkgd=True).load("train")
+    dK = max(float(np.abs(np.asarray(rf.K) - np.asarray(mf.K)).max())
+             for rf, mf in zip(ref_scene.frames, my_scene.frames))
+    dp = max(float(np.abs(np.asarray(rf.c2w) - np.asarray(mf.c2w)).max())
+             for rf, mf in zip(ref_scene.frames, my_scene.frames))
+    di = max(float(np.abs(np.asarray(rf.image) - np.asarray(mf.image)).max())
+             for rf, mf in zip(ref_scene.frames, my_scene.frames))
+    results.append(_grade("intrinsics", dK))
+    results.append(_grade("poses", dp))
+    results.append(_grade("images", di))
+
+    # ---------------- 2. camera-ray parity ----------------
+    print("[2] camera-ray parity")
+    fr = ref_scene.frames[0]
+    H, W = fr.image.shape[:2]
+    px = rng.uniform(0, [W, H], size=(args.rays, 2)).astype(np.float32)
+    for conv in ["opengl", "opencv", "pytorch3d"]:
+        r_ref = ref_rays(H, W, fr.K, fr.c2w, convention=conv,
+                         pixel_center=True, as_ndc=False, pixels_xy=px)
+        r_my = get_camera_rays(jnp.asarray(np.asarray(fr.K)),
+                               jnp.asarray(np.asarray(fr.c2w)),
+                               jnp.asarray(px), image_h=H, image_w=W,
+                               convention=conv, pixel_center=True)
+        d = max(float(np.abs(np.asarray(a) - b.numpy()).max())
+                for a, b in zip(r_my, r_ref))
+        results.append(_grade(f"world rays [{conv}]", d))
+    # NDC
+    r_ref = ref_rays(H, W, fr.K, fr.c2w, convention="opengl", pixel_center=True,
+                     as_ndc=True, near_plane=1.0, pixels_xy=px)
+    r_my = get_camera_rays(jnp.asarray(np.asarray(fr.K)),
+                           jnp.asarray(np.asarray(fr.c2w)), jnp.asarray(px),
+                           image_h=H, image_w=W, convention="opengl",
+                           pixel_center=True, as_ndc=True, near_plane=1.0)
+    d = max(float(np.abs(np.asarray(a) - b.numpy()).max())
+            for a, b in zip(r_my, r_ref))
+    results.append(_grade("NDC rays", d, ok=1e-4))
+
+    # ---------------- 3. sample_pdf parity (deterministic) ----------------
+    print("[3] deterministic sample_pdf parity")
+    B, M, S = 16, 63, 128
+    mids = np.sort(rng.uniform(2, 6, (B, M)).astype(np.float32), -1)
+    w = rng.uniform(0, 1, (B, M)).astype(np.float32)
+    z_ref = ref_pdf(torch.from_numpy(mids), torch.from_numpy(w), S,
+                    deterministic=True).numpy()
+    z_my = np.asarray(sample_pdf(jnp.asarray(mids), jnp.asarray(w), S,
+                                 deterministic=True))
+    results.append(_grade("sample_pdf (midpoints)", float(np.abs(z_my - z_ref).max()),
+                          ok=1e-4))
+
+    # ---------------- 4. MLP arch + tied-weight parity ----------------
+    print("[4] MLP architecture + tied weights")
+    cfg = NeRFConfig(enc_pos_dim=63, enc_dir_dim=27)
+    torch.manual_seed(0)
+    ref_mlp = RefNeRF(enc_pos_dim=63, enc_dir_dim=27, n_layers=8,
+                      hidden_dim=256, skip_pos=4)
+    ref_dims = [l.in_features for l in ref_mlp.mlp]
+    my_dims = trunk_in_dims(cfg)
+    arch_ok = ref_dims == my_dims
+    print(f"  [{'OK' if arch_ok else 'FAIL'}] trunk in_features {my_dims}")
+    results.append({"name": "mlp_arch", "max_abs_diff": 0.0 if arch_ok else 1.0,
+                    "status": "OK" if arch_ok else "FAIL"})
+
+    sd = {k: v.detach().numpy() for k, v in ref_mlp.state_dict().items()}
+    params = params_from_torch_state_dict(sd, cfg)
+    ep = rng.normal(0, 1, (64, 63)).astype(np.float32)
+    ed = rng.normal(0, 1, (64, 27)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref_mlp(torch.from_numpy(ep), torch.from_numpy(ed)).numpy()
+    from nerf_sandbox_tpu.models.mlp import nerf_apply
+    out_my = np.asarray(nerf_apply(params, cfg, jnp.asarray(ep), jnp.asarray(ed)))
+    results.append(_grade("tied-weight MLP forward",
+                          float(np.abs(out_my - out_ref).max()), ok=5e-4))
+
+    # ---------------- 5. integrator parity ----------------
+    print("[5] integrator parity")
+    Bv, Nv = 8, 96
+    rgb = rng.uniform(0, 1, (Bv, Nv, 3)).astype(np.float32)
+    sig = np.abs(rng.normal(0, 2, (Bv, Nv))).astype(np.float32)
+    z = np.sort(rng.uniform(2, 6, (Bv, Nv)).astype(np.float32), -1)
+    rn = rng.uniform(0.8, 1.3, (Bv, 1)).astype(np.float32)
+    c_ref, w_ref, a_ref, d_ref = ref_vr(
+        torch.from_numpy(rgb), torch.from_numpy(sig), torch.from_numpy(z),
+        ray_norm=torch.from_numpy(rn), white_bkgd=True, infinite_last_bin=True)
+    c_my, w_my, a_my, d_my = volume_render_rays(
+        jnp.asarray(rgb), jnp.asarray(sig), jnp.asarray(z),
+        ray_norm=jnp.asarray(rn), white_bkgd=True, infinite_last_bin=True)
+    results.append(_grade("integrator rgb", float(np.abs(np.asarray(c_my) - c_ref.numpy()).max())))
+    results.append(_grade("integrator weights", float(np.abs(np.asarray(w_my) - w_ref.numpy()).max())))
+
+    # ---------------- 6. end-to-end tied-weight forward ----------------
+    print("[6] end-to-end tied-weight forward pass")
+    pos_enc = RefEnc(input_dims=3, num_freqs=10, include_input=True)
+    dir_enc = RefEnc(input_dims=3, num_freqs=4, include_input=True)
+    Bf, Nf = args.rays, 48
+    ro = rng.normal(0, 1, (Bf, 3)).astype(np.float32)
+    rd = rng.normal(0, 1, (Bf, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, -1, keepdims=True)
+    zf = np.sort(rng.uniform(2, 6, (Bf, Nf)).astype(np.float32), -1)
+    rnf = rng.uniform(0.9, 1.2, (Bf, 1)).astype(np.float32)
+    with torch.no_grad():
+        comp_ref, _, acc_ref, _ = ref_fwd(
+            rays_o=torch.from_numpy(ro), rays_d_unit=torch.from_numpy(rd),
+            z_vals=torch.from_numpy(zf), pos_enc=pos_enc, dir_enc=dir_enc,
+            nerf=ref_mlp, white_bkgd=True, ray_norms=torch.from_numpy(rnf),
+            viewdirs_world_unit=torch.from_numpy(rd), sigma_activation="relu",
+            raw_noise_std=0.0, training=False, infinite_last_bin=True)
+    pos_b, dir_b = vanilla_encoders()
+    comp_my, _, acc_my, _ = nerf_forward_pass(
+        params, cfg, jnp.asarray(ro), jnp.asarray(rd), jnp.asarray(zf),
+        pos_bands=jnp.asarray(pos_b), dir_bands=jnp.asarray(dir_b),
+        white_bkgd=True, ray_norms=jnp.asarray(rnf),
+        viewdirs_world_unit=jnp.asarray(rd), sigma_activation="relu",
+        infinite_last_bin=True)
+    results.append(_grade("e2e tied-weight rgb",
+                          float(np.abs(np.asarray(comp_my) - comp_ref.numpy()).max()),
+                          ok=5e-4))
+    results.append(_grade("e2e tied-weight acc",
+                          float(np.abs(np.asarray(acc_my) - acc_ref.numpy()).max()),
+                          ok=5e-4))
+
+    # ---------------- report ----------------
+    n_fail = sum(r["status"] == "FAIL" for r in results)
+    n_warn = sum(r["status"] == "WARN" for r in results)
+    verdict = "FAIL" if n_fail else ("WARN" if n_warn else "OK")
+    report = {"verdict": verdict, "n_ok": len(results) - n_fail - n_warn,
+              "n_warn": n_warn, "n_fail": n_fail, "checks": results}
+    Path(args.out).write_text(json.dumps(report, indent=2))
+    print(f"\n== parity verdict: {verdict} "
+          f"({report['n_ok']} OK / {n_warn} WARN / {n_fail} FAIL) "
+          f"→ {args.out}")
+    return 0 if verdict != "FAIL" else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
