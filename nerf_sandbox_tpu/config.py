@@ -177,6 +177,15 @@ class Config:
     use_pallas: bool = True            # fused ray-march kernel when available
     profile_dir: Optional[str] = None  # jax.profiler trace output
 
+    # Encoder family (new — BASELINE config #5 stretch)
+    encoder: str = "positional"        # positional | hashgrid
+    hash_levels: int = 16
+    hash_features: int = 2
+    hash_log2_size: int = 19
+    hash_base_res: int = 16
+    hash_max_res: int = 512
+    hash_aabb_scale: float = 1.5
+
 
 def build_argparser() -> argparse.ArgumentParser:
     """The reference CLI surface (train_nerf.py:59-194) + TPU knobs."""
@@ -296,6 +305,15 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--zrate", type=float, default=None)
     g.add_argument("--path_zflat", type=str2bool, default=None)
     g.add_argument("--rads_scale", type=float, default=None)
+
+    g = p.add_argument_group("encoder family")
+    g.add_argument("--encoder", choices=["positional", "hashgrid"], default=d.encoder)
+    g.add_argument("--hash_levels", type=int, default=d.hash_levels)
+    g.add_argument("--hash_features", type=int, default=d.hash_features)
+    g.add_argument("--hash_log2_size", type=int, default=d.hash_log2_size)
+    g.add_argument("--hash_base_res", type=int, default=d.hash_base_res)
+    g.add_argument("--hash_max_res", type=int, default=d.hash_max_res)
+    g.add_argument("--hash_aabb_scale", type=float, default=d.hash_aabb_scale)
 
     g = p.add_argument_group("tpu")
     g.add_argument("--mesh_devices", type=int, default=d.mesh_devices)

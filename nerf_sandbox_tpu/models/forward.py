@@ -49,6 +49,8 @@ def nerf_forward_pass(
     infinite_last_bin: bool = False,
     compute_dtype=jnp.float32,
     use_pallas: bool = False,
+    pos_encoder: str = "freq",       # "freq" | "hashgrid"
+    hash_cfg=None,                   # HashGridConfig when pos_encoder=="hashgrid"
 ):
     """Returns (composite_rgb (B,3), weights (B,N), acc (B,1), depth (B,1))."""
     B, N = z_vals.shape
@@ -68,8 +70,12 @@ def nerf_forward_pass(
 
     # Encode in fp32 (sin/cos of large 2^k x args need fp32 mantissa), then
     # run the MLP in compute_dtype (bf16 on TPU = the AMP-equivalent mode).
-    enc_pos = positional_encoding(pts.reshape(-1, 3), pos_bands,
-                                  include_input=pos_include_input)
+    if pos_encoder == "hashgrid":
+        from nerf_sandbox_tpu.models.hashgrid import hash_encode
+        enc_pos = hash_encode(params["pos_grid"], pts.reshape(-1, 3), hash_cfg)
+    else:
+        enc_pos = positional_encoding(pts.reshape(-1, 3), pos_bands,
+                                      include_input=pos_include_input)
     enc_dir = positional_encoding(vdirs.reshape(-1, 3), dir_bands,
                                   include_input=dir_include_input)
 

@@ -48,6 +48,8 @@ class EvalHyper(NamedTuple):
     # Fused Pallas MLP for eval (inference-only; ties XLA on v5e — kept as
     # the foundation for deeper fusion; see ops/fused_mlp.py).
     use_pallas: bool = False
+    pos_encoder: str = "freq"
+    hash_cfg: object = None
 
 
 def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
@@ -78,7 +80,8 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
             sigma_activation=hyper.sigma_activation,
             infinite_last_bin=hyper.infinite_last_bin,
             compute_dtype=jnp.dtype(hyper.compute_dtype),
-            use_pallas=hyper.use_pallas)
+            use_pallas=hyper.use_pallas,
+            pos_encoder=hyper.pos_encoder, hash_cfg=hyper.hash_cfg)
 
         comp_c, w_c, acc_c, depth_c = fwd(params_c, hyper.model, rays_o,
                                           rays_d_unit, z)

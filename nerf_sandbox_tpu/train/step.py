@@ -52,6 +52,8 @@ class TrainHyper(NamedTuple):
     pos_include_input: bool = True
     dir_include_input: bool = True
     compute_dtype: str = "bfloat16"   # MLP matmul dtype (AMP-equivalent)
+    pos_encoder: str = "freq"         # "freq" | "hashgrid"
+    hash_cfg: Any = None              # HashGridConfig (hashable NamedTuple)
 
 
 class TrainState(NamedTuple):
@@ -97,13 +99,17 @@ def init_train_state(key: jax.Array, hyper: TrainHyper, tx, *,
                      near: float, far: float,
                      initial_acc_opacity: float | None = None) -> TrainState:
     from nerf_sandbox_tpu.models.mlp import init_nerf_params
-    kc, kf = jax.random.split(key)
+    kc, kf, kgc, kgf = jax.random.split(key, 4)
     params_c = init_nerf_params(kc, hyper.model, near=near, far=far,
                                 initial_acc_opacity=initial_acc_opacity,
                                 sigma_activation=hyper.sigma_activation)
     params_f = init_nerf_params(kf, hyper.model, near=near, far=far,
                                 initial_acc_opacity=initial_acc_opacity,
                                 sigma_activation=hyper.sigma_activation)
+    if hyper.pos_encoder == "hashgrid":
+        from nerf_sandbox_tpu.models.hashgrid import init_hash_tables
+        params_c["pos_grid"] = init_hash_tables(kgc, hyper.hash_cfg)
+        params_f["pos_grid"] = init_hash_tables(kgf, hyper.hash_cfg)
     opt_state = tx.init({"c": params_c, "f": params_f})
     return TrainState(step=jnp.int32(0), params_c=params_c, params_f=params_f,
                       opt_state=opt_state)
@@ -128,7 +134,8 @@ def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
         sigma_activation=hyper.sigma_activation,
         raw_noise_std=hyper.raw_noise_std,
         infinite_last_bin=hyper.infinite_last_bin,
-        compute_dtype=jnp.dtype(hyper.compute_dtype))
+        compute_dtype=jnp.dtype(hyper.compute_dtype),
+        pos_encoder=hyper.pos_encoder, hash_cfg=hyper.hash_cfg)
 
     comp_c, w_c, _, _ = fwd(params_c, hyper.model, batch["rays_o_marching"],
                             batch["rays_d_marching_unit"], zc,

@@ -130,7 +130,18 @@ class Trainer:
         # ---- encoders / model config ----
         self.pos_bands = jnp.asarray(make_frequency_bands(cfg.pos_num_freqs))
         self.dir_bands = jnp.asarray(make_frequency_bands(cfg.dir_num_freqs))
-        enc_pos_dim = encoder_out_dim(3, cfg.pos_num_freqs, cfg.pos_include_input)
+        self.pos_encoder = "hashgrid" if cfg.encoder == "hashgrid" else "freq"
+        self.hash_cfg = None
+        if self.pos_encoder == "hashgrid":
+            from nerf_sandbox_tpu.models.hashgrid import HashGridConfig
+            self.hash_cfg = HashGridConfig(
+                n_levels=cfg.hash_levels, n_features=cfg.hash_features,
+                log2_table_size=cfg.hash_log2_size, base_res=cfg.hash_base_res,
+                max_res=cfg.hash_max_res, aabb_scale=cfg.hash_aabb_scale)
+            enc_pos_dim = self.hash_cfg.out_dim
+        else:
+            enc_pos_dim = encoder_out_dim(3, cfg.pos_num_freqs,
+                                          cfg.pos_include_input)
         enc_dir_dim = encoder_out_dim(3, cfg.dir_num_freqs, cfg.dir_include_input)
         self.model_cfg = NeRFConfig(
             enc_pos_dim=enc_pos_dim, enc_dir_dim=enc_dir_dim,
@@ -161,7 +172,8 @@ class Trainer:
             micro_chunks=int(cfg.train_micro_chunks or 0),
             pos_include_input=cfg.pos_include_input,
             dir_include_input=cfg.dir_include_input,
-            compute_dtype=str(cfg.compute_dtype))
+            compute_dtype=str(cfg.compute_dtype),
+            pos_encoder=self.pos_encoder, hash_cfg=self.hash_cfg)
 
         sched_params = dict(cfg.lr_scheduler_params or {})
         sched_params.setdefault("T_max", cfg.max_steps)
@@ -194,7 +206,8 @@ class Trainer:
             pos_include_input=cfg.pos_include_input,
             dir_include_input=cfg.dir_include_input,
             compute_dtype=str(cfg.compute_dtype),
-            use_pallas=self._pallas_eval_ok())
+            use_pallas=self._pallas_eval_ok(),
+            pos_encoder=self.pos_encoder, hash_cfg=self.hash_cfg)
         self.render_tile = make_tile_renderer(
             self.eval_hyper, self.pos_bands, self.dir_bands, plan=self.plan)
 
