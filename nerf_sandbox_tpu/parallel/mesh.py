@@ -46,6 +46,61 @@ def make_mesh(devices=None, *, axis_name: str = "data") -> MeshPlan:
     return MeshPlan(mesh=Mesh(np.array(devices), (axis_name,)))
 
 
+def make_mesh_2d(n_data: int, n_model: int, devices=None,
+                 axis_names=("data", "model")) -> MeshPlan:
+    """2-D mesh: rays data-parallel on one axis, MLP tensor-parallel on the
+    other.  TP is overkill for the 2.4M-param vanilla model but exercises
+    the full sharding path for larger models (wide hidden dims / big hash
+    tables); the inner axis should map to ICI."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= n_data * n_model, \
+        f"need {n_data * n_model} devices, have {len(devices)}"
+    arr = np.array(devices[:n_data * n_model]).reshape(n_data, n_model)
+    return MeshPlan(mesh=Mesh(arr, axis_names))
+
+
+def nerf_param_shardings(plan: MeshPlan, params):
+    """Megatron-style alternating TP shardings for a NeRF param pytree.
+
+    Trunk layer 2k: column-parallel (out dim over ``model``); layer 2k+1:
+    row-parallel (in dim over ``model``) — XLA inserts the psum after each
+    row-parallel matmul.  Heads and hash tables stay replicated (tiny).
+    Returns a pytree of NamedSharding matching ``params``.
+    """
+    if plan.mesh is None or "model" not in plan.mesh.axis_names:
+        s = replicated_sharding(plan)
+        return jax.tree_util.tree_map(lambda _: s, params)
+
+    mesh = plan.mesh
+    col = NamedSharding(mesh, P(None, "model"))
+    row = NamedSharding(mesh, P("model", None))
+    vec_col = NamedSharding(mesh, P("model"))
+    rep = NamedSharding(mesh, P())
+
+    n_model = mesh.shape["model"]
+    out = jax.tree_util.tree_map(lambda _: rep, params)
+    for i, layer in enumerate(params["trunk"]):
+        w = layer["w"]
+        if i % 2 == 0 and w.shape[1] % n_model == 0:
+            out["trunk"][i] = {"w": col, "b": vec_col}
+        elif i % 2 == 1 and w.shape[0] % n_model == 0:
+            # row-parallel input must itself be feature-sharded upstream;
+            # the skip layer's concat input (hidden + enc) usually isn't
+            # divisible — GSPMD reshards either way, this only tunes comms
+            out["trunk"][i] = {"w": row, "b": rep}
+    return out
+
+
+def apply_param_shardings(plan: MeshPlan, params):
+    """device_put the params onto their TP shardings (no-op off-mesh)."""
+    if plan.mesh is None:
+        return params
+    shardings = nerf_param_shardings(plan, params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), params, shardings)
+
+
 def batch_sharding(plan: MeshPlan) -> Optional[NamedSharding]:
     if plan.mesh is None:
         return None

@@ -266,6 +266,47 @@ class Trainer:
         except Exception as e:
             print(f"[DEBUG] run_debug dump failed: {e}")
 
+    def _fine_sampling_diagnostic(self, step: int, n_rays: int = 128) -> None:
+        """Every-500-steps hierarchical-sampling health check: % of fine
+        samples landing in the top-4 coarse intervals vs the expected mass
+        (debug_utils.py:348-432; trainer.py:937-979 call sites)."""
+        try:
+            import jax
+            import jax.numpy as jnp
+            from nerf_sandbox_tpu.core.sampling import (
+                sample_pdf, stratified_samples)
+            from nerf_sandbox_tpu.data.sampler import sample_ray_batch
+            from nerf_sandbox_tpu.models.forward import nerf_forward_pass
+            from nerf_sandbox_tpu.utils.debug import fine_sample_topk_hit
+
+            key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 7), step)
+            spec = self.spec._replace(rays_per_batch=n_rays)
+            batch = sample_ray_batch(key, jnp.int32(step), self.scene_arrays, spec)
+            z = jnp.broadcast_to(
+                stratified_samples(self.samp_near, self.samp_far, self.cfg.nc),
+                (n_rays, self.cfg.nc))
+            _, w_c, _, _ = nerf_forward_pass(
+                self.state.params_c, self.model_cfg, batch["rays_o_marching"],
+                batch["rays_d_marching_unit"], z,
+                pos_bands=self.pos_bands, dir_bands=self.dir_bands,
+                pos_include_input=self.cfg.pos_include_input,
+                dir_include_input=self.cfg.dir_include_input,
+                white_bkgd=self.cfg.white_bkgd,
+                ray_norms=batch["rays_d_marching_norm"],
+                viewdirs_world_unit=batch["rays_d_world_unit"],
+                sigma_activation=self.cfg.sigma_activation,
+                infinite_last_bin=bool(self.cfg.infinite_last_bin),
+                pos_encoder=self.pos_encoder, hash_cfg=self.hash_cfg)
+            bins_mid = 0.5 * (z[:, 1:] + z[:, :-1])
+            w_bins = 0.5 * (w_c[:, 1:] + w_c[:, :-1]) + 1e-5
+            zf = sample_pdf(bins_mid, w_bins, self.cfg.nf, deterministic=True)
+            d = fine_sample_topk_hit(bins_mid, w_bins, zf, topk=4)
+            print(f"[diag] step={step} fine samples in top-4 intervals: "
+                  f"{d['hit_rate'] * 100:.1f}% (expected mass "
+                  f"{d['expected_mass'] * 100:.1f}%)")
+        except Exception as e:
+            print(f"[diag] fine-sampling diagnostic failed: {e}")
+
     def _pallas_eval_ok(self) -> bool:
         """Fused Pallas MLP for eval renders: only when requested, on a real
         TPU backend, and the architecture is in the fusable family."""
@@ -418,6 +459,10 @@ class Trainer:
                 self.monitor.log_to_tb(self.tb_logger, step)
                 last_log_time, last_log_step = now, step
                 self.monitor.guard(step)
+
+            # hierarchical-sampling health check (trainer.py:937-979 cadence)
+            if step % 500 == 0:
+                self._fine_sampling_diagnostic(step)
 
             # scheduled validation
             if (self._val_next_idx < len(self.val_steps)
