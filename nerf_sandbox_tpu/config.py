@@ -172,6 +172,8 @@ class Config:
     rads_scale: Optional[float] = None
 
     # TPU-native knobs (new)
+    ckpt_backend: str = "npz"          # npz (single-file) | orbax (async)
+    ckpt_max_to_keep: int = 0          # orbax retention; 0 = keep all
     mesh_devices: int = 0              # 0 = all visible devices
     compute_dtype: str = "bfloat16"    # MLP matmul dtype on TPU
     use_pallas: bool = True            # fused ray-march kernel when available
@@ -316,6 +318,8 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--hash_aabb_scale", type=float, default=d.hash_aabb_scale)
 
     g = p.add_argument_group("tpu")
+    g.add_argument("--ckpt_backend", choices=["npz", "orbax"], default=d.ckpt_backend)
+    g.add_argument("--ckpt_max_to_keep", type=int, default=d.ckpt_max_to_keep)
     g.add_argument("--mesh_devices", type=int, default=d.mesh_devices)
     g.add_argument("--compute_dtype", choices=["bfloat16", "float32"], default=d.compute_dtype)
     g.add_argument("--use_pallas", type=str2bool, default=d.use_pallas)

@@ -97,6 +97,61 @@ def save_checkpoint(ckpt_dir, step: int, state, cfg_dict: dict, *,
     return path
 
 
+# ---------------------------------------------------------------------------
+# Orbax backend — async, sharding-aware saves for multi-host scale.  Same
+# payload semantics (state + config echo); retention handled by the manager.
+# ---------------------------------------------------------------------------
+
+class OrbaxCheckpointer:
+    """Thin wrapper over orbax.checkpoint.CheckpointManager.
+
+    Use for large / multi-host runs: saves are asynchronous (training
+    continues while the write completes) and arrays restore directly onto
+    their mesh shardings.  The npz backend remains the default for its
+    single-file portability and the reference's ``ckpt_latest`` semantics.
+    """
+
+    def __init__(self, ckpt_dir, max_to_keep: int | None = None):
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self.mgr = ocp.CheckpointManager(
+            Path(ckpt_dir).resolve(),
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+
+    def save(self, step: int, state, cfg_dict: dict) -> None:
+        payload = {"state": {"step": state.step, "params_c": state.params_c,
+                             "params_f": state.params_f,
+                             "opt_state": state.opt_state}}
+        self.mgr.save(int(step), args=self._ocp.args.StandardSave(payload))
+        meta = Path(self.mgr.directory) / f"cfg_{int(step)}.json"
+        meta.write_text(json.dumps({"cfg": cfg_dict, "step": int(step),
+                                    "saved_at": datetime.now().isoformat(
+                                        timespec="seconds")}, default=str))
+        print(f"[CKPT] (orbax) saved step {step} -> {self.mgr.directory}")
+
+    def latest_step(self):
+        return self.mgr.latest_step()
+
+    def restore(self, step: int, state, *, load_optim: bool = True):
+        template = {"state": {"step": state.step, "params_c": state.params_c,
+                              "params_f": state.params_f,
+                              "opt_state": state.opt_state}}
+        out = self.mgr.restore(int(step),
+                               args=self._ocp.args.StandardRestore(template))["state"]
+        # restore to host numpy so downstream jit/mesh placement is free
+        # (orbax pins restored arrays to single-device shardings otherwise)
+        out = jax.tree_util.tree_map(np.asarray, out)
+        import jax.numpy as jnp
+        return state._replace(
+            step=jnp.int32(out["step"]), params_c=out["params_c"],
+            params_f=out["params_f"],
+            opt_state=out["opt_state"] if load_optim else state.opt_state), int(out["step"])
+
+    def close(self):
+        self.mgr.wait_until_finished()
+        self.mgr.close()
+
+
 _STEP_RE = re.compile(r"(?:ckpt|step)[_-]?(\d+)", re.IGNORECASE)
 
 

@@ -325,26 +325,44 @@ class Trainer:
         d.mkdir(parents=True, exist_ok=True)
         return d
 
+    @property
+    def _orbax(self):
+        if getattr(self, "_orbax_mgr", None) is None and \
+                self.cfg.ckpt_backend == "orbax":
+            self._orbax_mgr = ckpt.OrbaxCheckpointer(
+                self.ckpt_dir, max_to_keep=self.cfg.ckpt_max_to_keep or None)
+        return getattr(self, "_orbax_mgr", None)
+
     def save_checkpoint(self, step: int, tag: str | None = None,
-                        include_optim: bool = True) -> Path:
+                        include_optim: bool = True):
+        if self.cfg.ckpt_backend == "orbax" and tag is None:
+            self._orbax.save(step, self.state, asdict(self.cfg))
+            return self.ckpt_dir
+        # tagged saves (pause/interrupt) always use the single-file format
         return ckpt.save_checkpoint(self.ckpt_dir, step, self.state,
                                     asdict(self.cfg), tag=tag,
                                     include_optim=include_optim)
 
     def find_latest_checkpoint(self):
+        if self.cfg.ckpt_backend == "orbax":
+            return self._orbax.latest_step()
         return ckpt.find_latest_checkpoint(self.ckpt_dir, self.out_dir)
 
     def load_checkpoint(self, path, load_optim: bool = True) -> int:
+        if self.cfg.ckpt_backend == "orbax" and isinstance(path, int):
+            self.state, step = self._orbax.restore(path, self.state,
+                                                   load_optim=load_optim)
+            return step
         self.state, step, _ = ckpt.load_checkpoint(path, self.state,
                                                    load_optim=load_optim)
         return step
 
     def load_latest_checkpoint(self, load_optim: bool = True) -> int:
-        path = self.find_latest_checkpoint()
-        if path is None:
+        target = self.find_latest_checkpoint()
+        if target is None:
             print("[CKPT] no checkpoint found to resume from")
             return 0
-        return self.load_checkpoint(path, load_optim=load_optim)
+        return self.load_checkpoint(target, load_optim=load_optim)
 
     # ------------------------------------------------------------------
     # training loop
@@ -377,11 +395,12 @@ class Trainer:
         # ---- resume (trainer.py:670-696) ----
         resume_from = Path(cfg.resume_path) if cfg.resume_path else None
         if resume_from is None and cfg.auto_resume and int(self.state.step) == 0:
-            resume_from = self.find_latest_checkpoint()
-        if resume_from and Path(resume_from).exists():
+            resume_from = self.find_latest_checkpoint()   # Path | int (orbax)
+        if resume_from is not None and (
+                isinstance(resume_from, int) or Path(resume_from).exists()):
             self.load_checkpoint(resume_from, load_optim=not cfg.resume_no_optim)
             print(f"[CKPT] Resuming from step {int(self.state.step) + 1} "
-                  f"({Path(resume_from).name})")
+                  f"({resume_from})")
         # state.step also reflects a checkpoint loaded earlier via --resume.
         start_step = int(self.state.step) + 1
         if start_step > 1 and cfg.progress_video_during_training:
@@ -483,6 +502,8 @@ class Trainer:
             jax.profiler.stop_trace()
 
         if interrupted:
+            if getattr(self, "_orbax_mgr", None) is not None:
+                self._orbax_mgr.mgr.wait_until_finished()
             self.tb_logger.close()
             return
 
@@ -508,4 +529,6 @@ class Trainer:
             except Exception as e:
                 print(f"[PROGRESS] Video assembly failed: {e}")
 
+        if getattr(self, "_orbax_mgr", None) is not None:
+            self._orbax_mgr.mgr.wait_until_finished()
         self.tb_logger.close()

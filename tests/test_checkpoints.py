@@ -49,6 +49,45 @@ def test_tagged_checkpoint(tmp_path):
     assert p.name == "interrupt_step_7.ckpt"
 
 
+def test_orbax_backend_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from nerf_sandbox_tpu.train.checkpoints import OrbaxCheckpointer
+    state, _ = _state()
+    state = state._replace(step=jnp.int32(42))
+    mgr = OrbaxCheckpointer(tmp_path / "orbax")
+    mgr.save(42, state, {"lr": 1e-3})
+    mgr.mgr.wait_until_finished()
+    assert mgr.latest_step() == 42
+
+    fresh, _ = _state(seed=7)
+    restored, step = mgr.restore(42, fresh)
+    assert step == 42
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params_f),
+                    jax.tree_util.tree_leaves(state.params_f)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+
+def test_orbax_cli_resume(tmp_path):
+    from tests.test_loaders import _make_blender
+    from nerf_sandbox_tpu.scripts.train_nerf import main
+    scene = _make_blender(tmp_path / "scene", n_frames=2, size=16)
+    out = tmp_path / "exp"
+    base = ["--data_root", str(scene), "--out_dir", str(out),
+            "--data_kind", "blender", "--ckpt_backend", "orbax",
+            "--max_steps", "4", "--rays_per_batch", "32", "--nc", "4",
+            "--nf", "4", "--num_val_steps", "1", "--ckpt_every", "2",
+            "--log_every", "2", "--progress_frames", "2",
+            "--eval_chunk", "128"]
+    main(base)
+    base[base.index("--max_steps") + 1] = "6"
+    main(base + ["--auto_resume"])
+    # steps 2,4 from run 1 and 6 from run 2 present
+    import orbax.checkpoint as ocp
+    with ocp.CheckpointManager(out / "checkpoints") as m:
+        assert 6 in m.all_steps() and 4 in m.all_steps()
+
+
 def test_resume_no_optim(tmp_path):
     state, tx = _state()
     # perturb optimizer state by one update so it differs from fresh
