@@ -1,0 +1,122 @@
+"""ValidationRenderer unit tests: snapping, PSNR, index resolution,
+progress-plan blocks and resume semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+from nerf_sandbox_tpu.config import Config
+from nerf_sandbox_tpu.data.scene import Frame, Scene
+from nerf_sandbox_tpu.models.mlp import NeRFConfig, init_nerf_params
+from nerf_sandbox_tpu.render.renderer import EvalHyper, make_tile_renderer
+from nerf_sandbox_tpu.render.validation import (
+    ValidationRenderer, compute_psnr, snap_hwk)
+
+
+def test_snap_hwk():
+    K = np.array([[10.0, 0, 5], [0, 10.0, 4], [0, 0, 1]], np.float32)
+    H, W, K2 = snap_hwk(10, 9, K, 16)
+    assert (H, W) == (16, 16)
+    np.testing.assert_allclose(K2[0, 0], 10.0 * 16 / 9)
+    np.testing.assert_allclose(K2[1, 1], 10.0 * 16 / 10)
+    H, W, K3 = snap_hwk(32, 16, K, 16)
+    assert (H, W) == (32, 16) and K3 is K
+
+
+def test_compute_psnr():
+    a = np.zeros((4, 4, 3))
+    b = np.full((4, 4, 3), 0.1)
+    np.testing.assert_allclose(compute_psnr(a, b), 20.0, rtol=1e-5)
+    assert compute_psnr(a, a) == pytest.approx(100.0)
+    # masked: only count half the pixels (the differing half)
+    mask = np.zeros((4, 4, 1))
+    mask[:2] = 1.0
+    c = a.copy()
+    c[2:] = 1.0   # error only outside the mask
+    assert compute_psnr(a, c, mask) == pytest.approx(100.0)
+
+
+def _valr(tmp_path, n_frames=3, rgba=True):
+    rng = np.random.RandomState(0)
+    K = np.array([[12.0, 0, 8], [0, 12.0, 8], [0, 0, 1]], np.float32)
+    frames = []
+    for i in range(n_frames):
+        c = 4 if rgba else 3
+        img = rng.uniform(0, 1, (16, 16, c)).astype(np.float32)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 3] = [0, 0, 4.0]
+        frames.append(Frame(image=img, K=K, c2w=c2w,
+                            meta={"file_path": f"/x/r_{i}.png",
+                                  "basename": f"r_{i}.png"}))
+    scene = Scene(frames=frames)
+    model = NeRFConfig(63, 27, n_layers=2, hidden_dim=32, skip_pos=1)
+    pos_b, dir_b = vanilla_encoders()
+    tile = make_tile_renderer(
+        EvalHyper(model=model, nc_eval=4, nf_eval=4, samp_near=2.0, samp_far=6.0),
+        jnp.asarray(pos_b), jnp.asarray(dir_b))
+    cfg = Config(out_dir=str(tmp_path), progress_frames=6, path_type="blender",
+                 bl_phi_deg=-30.0, bl_rots=1.0, bl_theta_start_deg=-180.0)
+    valr = ValidationRenderer(
+        scene_val=scene, out_dir=tmp_path / "validation", render_tile=tile,
+        cfg=cfg, near_world=2.0, far_world=6.0, use_ndc=False,
+        ndc_near_plane_world=2.0, eval_chunk=256)
+    pc = init_nerf_params(jax.random.PRNGKey(0), model)
+    pf = init_nerf_params(jax.random.PRNGKey(1), model)
+    return valr, pc, pf
+
+
+def test_resolve_indices_by_filename(tmp_path):
+    valr, _, _ = _valr(tmp_path)
+    assert valr._resolve_frame_indices(None, ["r_1.png"]) == [1]
+    assert valr._resolve_frame_indices([2], ["r_0"]) == [0, 2]
+    with pytest.raises(ValueError):
+        valr._resolve_frame_indices(None, ["nope.png"])
+    # out-of-range indices clamp
+    assert valr._resolve_frame_indices([99]) == [2]
+
+
+def test_render_indices_and_psnr(tmp_path):
+    valr, pc, pf = _valr(tmp_path)
+    paths, metrics = valr.render_indices_at_step(7, [0, 1], pc, pf)
+    assert len(paths) == 6
+    assert (tmp_path / "validation" / "val_idx0000" / "rgb"
+            / "step_0000007.png").exists()
+    assert metrics["psnr_mean"] is not None
+    assert len(metrics["psnr_per_frame"]) == 2
+
+
+def test_progress_blocks_and_resume(tmp_path):
+    valr, pc, pf = _valr(tmp_path)
+    valr.setup_progress_plan(val_steps=[5, 10, 20])
+    assert sum(valr._prog_block_sizes) == 6 and len(valr._prog_block_sizes) == 3
+    start, count = valr.render_progress_block(pc, pf)
+    assert (start, count) == (0, 2)
+    rgb_dir = valr._prog_frames_dir / "rgb"
+    assert len(list(rgb_dir.glob("rgb_frame_*.png"))) == 2
+
+    # resume: 1 event passed + 1 block on disk → next block idx = 1
+    valr._prog_next_block_idx = 0
+    valr.resume_to_step(5)
+    assert valr._prog_next_block_idx == 1
+
+    # render remaining blocks; existing frames are skipped (idempotent)
+    valr.render_progress_block(pc, pf)
+    valr.render_progress_block(pc, pf)
+    assert len(list(rgb_dir.glob("rgb_frame_*.png"))) == 6
+    # exhausted plan → (0, 0)
+    assert valr.render_progress_block(pc, pf) == (0, 0)
+
+    valr.export_progress_video()
+    vids = list(valr._prog_frames_dir.glob("training_progress_*.*"))
+    assert vids
+
+
+def test_render_selected_frames(tmp_path):
+    valr, pc, pf = _valr(tmp_path)
+    out = valr.render_selected_frames(pc, pf, frame_indices=[1], res_scale=0.5)
+    assert len(out) == 3
+    import imageio.v2 as imageio
+    img = imageio.imread(out[0])
+    assert img.shape[:2] == (8, 8)
