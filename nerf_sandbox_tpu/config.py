@@ -172,6 +172,7 @@ class Config:
     rads_scale: Optional[float] = None
 
     # TPU-native knobs (new)
+    scan_steps: int = 1                # fuse N optimizer steps per dispatch
     ckpt_backend: str = "npz"          # npz (single-file) | orbax (async)
     ckpt_max_to_keep: int = 0          # orbax retention; 0 = keep all
     mesh_devices: int = 0              # 0 = all visible devices
@@ -318,6 +319,9 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--hash_aabb_scale", type=float, default=d.hash_aabb_scale)
 
     g = p.add_argument_group("tpu")
+    g.add_argument("--scan_steps", type=int, default=d.scan_steps,
+                   help="Fuse N optimizer steps into one device dispatch "
+                        "(lax.scan); amortises launch overhead")
     g.add_argument("--ckpt_backend", choices=["npz", "orbax"], default=d.ckpt_backend)
     g.add_argument("--ckpt_max_to_keep", type=int, default=d.ckpt_max_to_keep)
     g.add_argument("--mesh_devices", type=int, default=d.mesh_devices)

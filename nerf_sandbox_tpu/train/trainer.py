@@ -427,10 +427,35 @@ class Trainer:
             jax.profiler.start_trace(cfg.profile_dir)
             profiling = True
 
-        for step in range(start_step, max_steps + 1):
-            self.state, metrics = self.train_step(self.state, self.scene_arrays)
+        # Multi-step fusion: advance `scan` optimizer steps per dispatch when
+        # no schedule boundary (validation / checkpoint / diagnostic / end)
+        # falls inside the chunk.  Boundaries remain step-exact.
+        scan = max(1, int(getattr(cfg, "scan_steps", 1) or 1))
+        chunk_step = None
+        if scan > 1:
+            chunk_step = build_train_step(
+                self.hyper, self.spec, self.tx, self.pos_bands, self.dir_bands,
+                plan=self.plan, base_seed=cfg.seed, scan_steps=scan)
 
-            # signals (checked every step; cheap — host-only flags)
+        def _next_boundary(s: int) -> int:
+            nxt_val = (self.val_steps[self._val_next_idx]
+                       if self._val_next_idx < len(self.val_steps)
+                       else max_steps)
+            nxt_ckpt = ((s // ckpt_every) + 1) * ckpt_every
+            nxt_diag = ((s // 500) + 1) * 500
+            return min(nxt_val, nxt_ckpt, nxt_diag, max_steps)
+
+        step = start_step - 1
+        while step < max_steps:
+            if chunk_step is not None and step + scan <= _next_boundary(step + 1):
+                self.state, metrics = chunk_step(self.state, self.scene_arrays)
+                step += scan
+            else:
+                self.state, metrics = self.train_step(self.state,
+                                                      self.scene_arrays)
+                step += 1
+
+            # signals (checked every dispatch; cheap — host-only flags)
             if self.signals.sigusr1:
                 try:
                     self.save_checkpoint(step, tag=f"pause_step_{step}")
@@ -447,7 +472,7 @@ class Trainer:
                 break
 
             # logging (pulls device values only here)
-            if step % log_every == 0:
+            if step - last_log_step >= log_every or step == max_steps:
                 loss_val = float(metrics["loss"])
                 psnr_val = float(metrics["psnr"])
                 if not bool(metrics["finite"]):

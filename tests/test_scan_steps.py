@@ -1,0 +1,60 @@
+"""Fused multi-step training (--scan_steps): boundary exactness + CLI."""
+
+import numpy as np
+
+from tests.test_loaders import _make_blender
+
+
+def test_cli_scan_steps_hits_boundaries(tmp_path):
+    from nerf_sandbox_tpu.scripts.train_nerf import main
+    scene = _make_blender(tmp_path / "scene", n_frames=2, size=16)
+    out = tmp_path / "exp"
+    main(["--data_root", str(scene), "--out_dir", str(out),
+          "--data_kind", "blender", "--scan_steps", "4",
+          "--max_steps", "10", "--rays_per_batch", "32", "--nc", "4",
+          "--nf", "4", "--val_every", "5", "--ckpt_every", "5",
+          "--log_every", "2", "--progress_frames", "2",
+          "--eval_chunk", "128"])
+    # checkpoints exactly at the 5-step boundaries despite scan=4
+    assert (out / "checkpoints" / "ckpt_0000005.ckpt").exists()
+    assert (out / "checkpoints" / "ckpt_0000010.ckpt").exists()
+    # validation fired at steps 5 and 10
+    val = out / "validation" / "val_idx0000" / "rgb"
+    steps = sorted(p.name for p in val.glob("step_*.png"))
+    assert steps == ["step_0000005.png", "step_0000010.png"]
+
+
+def test_scan_chunk_equals_singles():
+    import jax.numpy as jnp
+    from tests.test_train_step import _scene
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+    from nerf_sandbox_tpu.data.sampler import RayBatchSpec, SceneArrays
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig
+    from nerf_sandbox_tpu.train.step import (
+        TrainHyper, build_train_step, init_train_state, make_optimizer)
+    import jax
+
+    arrs = SceneArrays.from_scene(_scene())
+    model = NeRFConfig(63, 27, n_layers=2, hidden_dim=64, skip_pos=1)
+    hyper = TrainHyper(model=model, nc=8, nf=8, samp_near=2.0, samp_far=6.0)
+    spec = RayBatchSpec(rays_per_batch=64, image_h=16, image_w=16)
+    tx = make_optimizer(5e-4, "none", {})
+    pos_b, dir_b = vanilla_encoders()
+
+    single = build_train_step(hyper, spec, tx, jnp.asarray(pos_b),
+                              jnp.asarray(dir_b))
+    chunk = build_train_step(hyper, spec, tx, jnp.asarray(pos_b),
+                             jnp.asarray(dir_b), scan_steps=5)
+
+    s1 = init_train_state(jax.random.PRNGKey(0), hyper, tx, near=2.0, far=6.0)
+    for _ in range(5):
+        s1, m1 = single(s1, arrs)
+    s2 = init_train_state(jax.random.PRNGKey(0), hyper, tx, near=2.0, far=6.0)
+    s2, m2 = chunk(s2, arrs)
+
+    assert int(s1.step) == int(s2.step) == 5
+    # same RNG stream (fold_in by step) → identical trajectories
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    a = np.asarray(s1.params_c["trunk"][0]["w"])
+    b = np.asarray(s2.params_c["trunk"][0]["w"])
+    np.testing.assert_allclose(a, b, atol=1e-6)
