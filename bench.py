@@ -20,8 +20,9 @@ import numpy as np
 BASELINE_RAY_SAMPLES_PER_SEC = 5e6   # /root/repo/BASELINE.json north star
 RAYS_PER_BATCH = 1024
 NC, NF = 64, 128
-WARMUP_STEPS = 10
-BENCH_STEPS = 200
+SCAN_STEPS = 20                      # trainer's --scan_steps fused chunks
+WARMUP_CALLS = 3
+BENCH_CALLS = 15                     # x SCAN_STEPS optimizer steps
 
 
 def main():
@@ -64,20 +65,21 @@ def main():
     pos_b, dir_b = vanilla_encoders()
     plan = make_mesh()
     step_fn = build_train_step(hyper, spec, tx, jnp.asarray(pos_b),
-                               jnp.asarray(dir_b), plan=plan)
+                               jnp.asarray(dir_b), plan=plan,
+                               scan_steps=SCAN_STEPS)
 
-    for _ in range(WARMUP_STEPS):
+    for _ in range(WARMUP_CALLS):
         state, metrics = step_fn(state, scene)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
-    for _ in range(BENCH_STEPS):
+    for _ in range(BENCH_CALLS):
         state, metrics = step_fn(state, scene)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
 
     n_chips = max(1, plan.n_devices)
-    rays_per_sec = BENCH_STEPS * RAYS_PER_BATCH / dt
+    rays_per_sec = BENCH_CALLS * SCAN_STEPS * RAYS_PER_BATCH / dt
     samples_per_ray = NC + (NC + NF)      # coarse pass + merged fine pass
     ray_samples_per_sec = rays_per_sec * samples_per_ray / n_chips
 
