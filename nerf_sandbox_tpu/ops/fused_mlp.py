@@ -164,7 +164,6 @@ def fused_nerf_apply(params, cfg: NeRFConfig, enc_pos, enc_dir,
     [r, g, b, sigma] logits.
     """
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     Q = enc_pos.shape[0]
     packed = pack_nerf_params(params, cfg)
@@ -174,9 +173,6 @@ def fused_nerf_apply(params, cfg: NeRFConfig, enc_pos, enc_dir,
     ep = _pad_to(enc_pos.astype(jnp.bfloat16), Q + q_pad, EP_PAD)
     ed = _pad_to(enc_dir.astype(jnp.bfloat16), Q + q_pad, ED_PAD)
     n_tiles = (Q + q_pad) // TILE_Q
-
-    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                                       memory_space=pltpu.ANY)
 
     kernel = functools.partial(_kernel, skip_pos=cfg.skip_pos,
                                n_layers=cfg.n_layers, hidden=cfg.hidden_dim)
