@@ -341,7 +341,9 @@ def make_cfg_from_args(args: argparse.Namespace) -> Config:
         cfg.train_micro_chunks = int(cfg.micro_chunks or 0)
     if cfg.eval_micro_chunks is None:
         cfg.eval_micro_chunks = int(cfg.micro_chunks or 0)
-    if cfg.centering is None:
+    if cfg.centering is None and str(cfg.data_kind).lower() != "auto":
+        # 'auto' data kind: leave None for the CLI to fill after resolving
+        # the real kind (Trainer falls back to "none" if still unset)
         cfg.centering = "auto" if str(cfg.data_kind).lower() == "llff" else "none"
     cfg.train_chunk = int(cfg.train_chunk or 0)
     cfg.out_dir = str(cfg.out_dir)

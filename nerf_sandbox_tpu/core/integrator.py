@@ -24,9 +24,11 @@ import jax.numpy as jnp
 
 def exclusive_cumprod(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """cumprod shifted right with a leading 1 (render_utils.py:147-150)."""
-    ones = jnp.ones_like(jnp.take(x, jnp.array([0]), axis=axis))
-    shifted = jnp.concatenate([ones, x], axis=axis)
-    return jnp.cumprod(shifted, axis=axis)[..., :-1]
+    moved = jnp.moveaxis(x, axis, -1)
+    ones = jnp.ones_like(moved[..., :1])
+    shifted = jnp.concatenate([ones, moved], axis=-1)
+    out = jnp.cumprod(shifted, axis=-1)[..., :-1]
+    return jnp.moveaxis(out, -1, axis)
 
 
 def volume_render_rays(

@@ -111,8 +111,11 @@ def sample_pdf(
     vals = jnp.stack([cdf, edges], axis=-1)                       # (B, M+1, 2)
     oh_lo = jax.nn.one_hot(below, M + 1, dtype=vals.dtype)        # (B, S, M+1)
     oh_hi = jax.nn.one_hot(above, M + 1, dtype=vals.dtype)
-    lo = jnp.einsum("bsm,bmk->bsk", oh_lo, vals)
-    hi = jnp.einsum("bsm,bmk->bsk", oh_hi, vals)
+    # HIGHEST: bf16 (the TPU default) would quantize the CDF (~4e-3) and
+    # the z edges (~1.6e-2 near z=4), corrupting fine-sample placement.
+    hp = jax.lax.Precision.HIGHEST
+    lo = jnp.einsum("bsm,bmk->bsk", oh_lo, vals, precision=hp)
+    hi = jnp.einsum("bsm,bmk->bsk", oh_hi, vals, precision=hp)
     cdf_lo, bin_lo = lo[..., 0], lo[..., 1]
     cdf_hi, bin_hi = hi[..., 0], hi[..., 1]
 

@@ -62,6 +62,7 @@ class LLFFSceneLoader:
         self.holdout_every = int(holdout_every)
         self.holdout_offset = int(holdout_offset)
         self.norm_scale = 1.0
+        self._raw_cache = None
 
     # ---------- internals ----------
 
@@ -92,7 +93,15 @@ class LLFFSceneLoader:
         return arr
 
     def _load_raw(self):
-        """→ (poses (N,3,5) OpenGL, bounds (N,2), files, img_dir, factor)."""
+        """→ (poses (N,3,5) OpenGL, bounds (N,2), files, img_dir, factor).
+
+        Cached: the trainer calls load('train'), load('val') and
+        get_global_near_far at startup — one npy read + probe decode total.
+        Poses/bounds are returned as copies (callers mutate them in place).
+        """
+        if self._raw_cache is not None:
+            poses, bounds, files, img_dir, factor = self._raw_cache
+            return poses.copy(), bounds.copy(), files, img_dir, factor
         npy = self.root / "poses_bounds.npy"
         if not npy.exists():
             raise FileNotFoundError(f"Missing {npy}")
@@ -115,7 +124,8 @@ class LLFFSceneLoader:
         poses[:, 0, 4] = float(im0.shape[0])
         poses[:, 1, 4] = float(im0.shape[1])
         poses[:, 2, 4] = poses[:, 2, 4] / float(factor)
-        return poses, bounds, files, img_dir, factor
+        self._raw_cache = (poses, bounds, files, img_dir, factor)
+        return poses.copy(), bounds.copy(), files, img_dir, factor
 
     def _recenter(self, poses: np.ndarray) -> np.ndarray:
         """Recenter (N,3,5) poses to the average pose (llff_loader.py:207-222)."""

@@ -130,7 +130,10 @@ def sample_ray_batch(key: jax.Array, step: jnp.ndarray, scene: SceneArrays,
     oh = jax.nn.one_hot(fids, n_frames, dtype=jnp.float32)         # (B, N)
     cams = jnp.concatenate([scene.Ks.reshape(n_frames, 9),
                             scene.c2ws.reshape(n_frames, 12)], axis=-1)
-    cam_rows = oh @ cams                                           # (B, 21)
+    # HIGHEST: the TPU default would round K/c2w to bf16 (~0.4% on an
+    # 1111.1 focal) and misalign every training ray; this matmul is tiny.
+    cam_rows = jnp.matmul(oh, cams,
+                          precision=jax.lax.Precision.HIGHEST)     # (B, 21)
     Ks = cam_rows[:, :9].reshape(-1, 3, 3)                         # (B, 3, 3)
     c2ws = cam_rows[:, 9:].reshape(-1, 3, 4)                       # (B, 3, 4)
     pixels_xy = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], -1)

@@ -147,20 +147,15 @@ def render_pose(render_tile, params_c, params_f, c2w, H: int, W: int, K, *,
     """
     K = jnp.asarray(np.asarray(K, np.float32))
     c2w = jnp.asarray(np.asarray(c2w, np.float32))
-    world = get_camera_rays_grid(K, c2w, image_h=H, image_w=W,
-                                 convention=convention, pixel_center=True,
-                                 as_ndc=False)
-    if use_ndc:
-        march = get_camera_rays_grid(K, c2w, image_h=H, image_w=W,
-                                     convention=convention, pixel_center=True,
-                                     as_ndc=True, near_plane=float(near_plane))
-        ro, rd, rn = march.o_march, march.d_march_unit, march.d_march_norm
-    else:
-        ro, rd, rn = world.o_world, world.d_world_unit, world.d_world_norm
-
-    out = render_rays_chunked(render_tile, params_c, params_f, ro, rd, rn,
-                              world.d_world_unit, eval_chunk=eval_chunk,
-                              key=key)
+    # One ray-gen pass: the bundle carries BOTH world fields (viewdirs for
+    # the MLP) and marching fields (world or NDC-warped).
+    rays = get_camera_rays_grid(K, c2w, image_h=H, image_w=W,
+                                convention=convention, pixel_center=True,
+                                as_ndc=use_ndc, near_plane=float(near_plane))
+    out = render_rays_chunked(render_tile, params_c, params_f,
+                              rays.o_march, rays.d_march_unit,
+                              rays.d_march_norm, rays.d_world_unit,
+                              eval_chunk=eval_chunk, key=key)
     return {
         "rgb": np.asarray(out["rgb"]).reshape(H, W, 3),
         "acc": np.asarray(out["acc"]).reshape(H, W, 1),

@@ -30,16 +30,19 @@ from nerf_sandbox_tpu.config import (
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     cfg = make_cfg_from_args(args)
-    if cfg.vanilla:
-        cfg = apply_vanilla_profile(cfg)
 
-    # Resolve auto data kind before path defaults so the right path family
-    # is chosen (the reference resolves inside Trainer; we need it for the
-    # path defaults too).
+    # Resolve 'auto' BEFORE the vanilla profile: its dataset-specific branch
+    # (NDC, precrop, white bkgd, single-frame) keys off the real kind.
     kind = (cfg.data_kind or "auto").lower()
     if kind == "auto":
         kind = "llff" if (Path(cfg.data_root) / "poses_bounds.npy").exists() \
             else "blender"
+        cfg.data_kind = kind
+        if cfg.centering is None:
+            cfg.centering = "auto" if kind == "llff" else "none"
+
+    if cfg.vanilla:
+        cfg = apply_vanilla_profile(cfg)
     cfg = apply_path_defaults(cfg, kind)
 
     Path(cfg.out_dir).mkdir(parents=True, exist_ok=True)

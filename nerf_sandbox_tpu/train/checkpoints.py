@@ -160,7 +160,10 @@ def find_latest_checkpoint(ckpt_dir, out_dir=None) -> Optional[Path]:
     for d in filter(None, [ckpt_dir, out_dir]):
         d = Path(d)
         if d.is_dir():
-            candidates += [p for p in d.glob("ckpt_*.ckpt") if not p.is_symlink()]
+            # include tagged saves (pause_step_N / interrupt_step_N) so
+            # --auto_resume picks up signal checkpoints too
+            candidates += [p for p in d.glob("*.ckpt")
+                           if not p.is_symlink() and _STEP_RE.search(p.name)]
     if not candidates:
         return None
 

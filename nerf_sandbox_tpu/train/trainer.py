@@ -438,11 +438,12 @@ class Trainer:
                 plan=self.plan, base_seed=cfg.seed, scan_steps=scan)
 
         def _next_boundary(s: int) -> int:
+            """Smallest step >= s at which a host action must run."""
             nxt_val = (self.val_steps[self._val_next_idx]
                        if self._val_next_idx < len(self.val_steps)
                        else max_steps)
-            nxt_ckpt = ((s // ckpt_every) + 1) * ckpt_every
-            nxt_diag = ((s // 500) + 1) * 500
+            nxt_ckpt = ((s - 1) // ckpt_every + 1) * ckpt_every
+            nxt_diag = ((s - 1) // 500 + 1) * 500
             return min(nxt_val, nxt_ckpt, nxt_diag, max_steps)
 
         step = start_step - 1

@@ -18,7 +18,11 @@ def test_minimal_parse_defaults():
     assert cfg.nc == 64 and cfg.nf == 128
     assert cfg.rays_per_batch == 2048
     assert cfg.max_steps == 200_000
-    assert cfg.centering == "none"          # blender/auto default
+    # 'auto' data kind: centering resolved by the CLI after kind detection
+    assert cfg.centering is None
+    assert make_cfg_from_args(build_argparser().parse_args(
+        ["--data_root", "/tmp/x", "--out_dir", "/tmp/y",
+         "--data_kind", "blender"])).centering == "none"
     assert cfg.lr_scheduler == "cosine"
     assert isinstance(cfg.lr_scheduler_params, dict)
 

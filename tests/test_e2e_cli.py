@@ -72,6 +72,24 @@ def test_render_only(blender_scene, tmp_path):
     assert list((ro / "rgb").glob("rgb_frame_*.png"))
 
 
+def test_vanilla_with_auto_kind_resolves_dataset_branch(tmp_path):
+    """Regression: --vanilla with the default --data_kind auto must apply
+    the dataset-specific vanilla branch (LLFF → NDC + precrop)."""
+    from nerf_sandbox_tpu.scripts.train_nerf import main
+    root = _make_llff(tmp_path / "fern", n=5, H=12, W=16)
+    out = tmp_path / "exp_auto"
+    # note: --vanilla overwrites model/sampling knobs (reference semantics),
+    # so this runs the true 8x256 recipe for 1 step on CPU
+    main(["--data_root", str(root), "--out_dir", str(out), "--vanilla",
+          "--max_steps", "1", "--num_val_steps", "1", "--ckpt_every", "10",
+          "--log_every", "1", "--progress_frames", "2",
+          "--eval_chunk", "256"])
+    dbg = json.loads((out / "run_debug.json").read_text())
+    assert dbg["scene"]["use_ndc"] is True          # LLFF vanilla branch ran
+    assert dbg["config"]["precrop_iters"] == 1000
+    assert dbg["config"]["sample_from_single_frame"] is True
+
+
 def test_llff_ndc_smoke(tmp_path):
     root = _make_llff(tmp_path / "fern", n=5, H=12, W=16)
     out = tmp_path / "exp_llff"
