@@ -180,6 +180,15 @@ class Config:
     use_pallas: bool = True            # fused ray-march kernel when available
     profile_dir: Optional[str] = None  # jax.profiler trace output
 
+    # Sampling strategy (new — NerfAcc-style acceleration, docs/ROADMAP.md)
+    sampling: str = "hierarchical"     # hierarchical | occupancy
+    occ_res: int = 64
+    occ_update_every: int = 16
+    occ_decay: float = 0.95
+    occ_probes: int = 64
+    occ_aabb_scale: float = 1.5        # world box half-width (non-NDC)
+    occ_explore_frac: float = 0.02
+
     # Encoder family (new — BASELINE config #5 stretch)
     encoder: str = "positional"        # positional | hashgrid
     hash_levels: int = 16
@@ -308,6 +317,18 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--zrate", type=float, default=None)
     g.add_argument("--path_zflat", type=str2bool, default=None)
     g.add_argument("--rads_scale", type=float, default=None)
+
+    g = p.add_argument_group("sampling strategy")
+    g.add_argument("--sampling", choices=["hierarchical", "occupancy"],
+                   default=d.sampling,
+                   help="occupancy: EMA density grid replaces the coarse "
+                        "NeRF pass (one model eval per step)")
+    g.add_argument("--occ_res", type=int, default=d.occ_res)
+    g.add_argument("--occ_update_every", type=int, default=d.occ_update_every)
+    g.add_argument("--occ_decay", type=float, default=d.occ_decay)
+    g.add_argument("--occ_probes", type=int, default=d.occ_probes)
+    g.add_argument("--occ_aabb_scale", type=float, default=d.occ_aabb_scale)
+    g.add_argument("--occ_explore_frac", type=float, default=d.occ_explore_frac)
 
     g = p.add_argument_group("encoder family")
     g.add_argument("--encoder", choices=["positional", "hashgrid"], default=d.encoder)

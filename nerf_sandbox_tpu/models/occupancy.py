@@ -1,0 +1,147 @@
+"""Occupancy-grid accelerated sampling (NerfAcc-style, TPU-static shapes).
+
+Beyond-reference acceleration (PAPERS.md: "NerfAcc: Efficient Sampling
+Accelerates NeRFs"): an EMA density grid replaces the coarse NeRF pass.
+Instead of evaluating a full 8x256 coarse MLP at 64 samples/ray to find
+where matter lives, each ray probes the grid at ``n_probes`` equidistant
+points (a flat VMEM gather — measured ~free on v5e) and places ALL of its
+MLP samples by inverse-CDF sampling from the probed density profile.
+
+TPU-static design (no dynamic shapes, unlike CUDA NerfAcc):
+
+* samples are REDISTRIBUTED, never skipped — every ray keeps a fixed
+  sample count, so one compiled program serves the whole run
+* the grid is training STATE, not a parameter: updated every
+  ``update_every`` steps by querying the fine model's density at jittered
+  cell centers and taking ``max(grid * decay, sigma)`` (the Instant-NGP
+  EMA rule); it is cheap to rebuild after resume, so it is not
+  checkpointed
+* an ``explore_frac`` floor keeps a fraction of probability mass uniform
+  so unoccupied space keeps receiving samples (the grid can recover from
+  false negatives).
+
+Used by ``--sampling occupancy``: drops the coarse MLP entirely — the
+training step becomes ONE model evaluation at ``nf`` samples/ray.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class OccupancyConfig(NamedTuple):
+    resolution: int = 64
+    lo: Tuple[float, float, float] = (-1.5, -1.5, -1.5)
+    hi: Tuple[float, float, float] = (1.5, 1.5, 1.5)
+    decay: float = 0.95
+    update_every: int = 16
+    n_probes: int = 64
+    explore_frac: float = 0.02    # uniform mass floor for exploration
+    alpha_thr: float = 0.01       # cell counts as occupied when its alpha
+                                  # over one probe bin exceeds this
+
+
+def init_occupancy_grid(cfg: OccupancyConfig) -> jnp.ndarray:
+    """Uniform (all-occupied) grid → initial sampling matches stratified."""
+    return jnp.ones((cfg.resolution ** 3,), jnp.float32)
+
+
+def grid_values(grid: jnp.ndarray, cfg: OccupancyConfig,
+                pts: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-cell density lookup for world/marching points (..., 3).
+
+    Out-of-box points return 0 (no mass placed outside the volume).
+    """
+    R = cfg.resolution
+    lo = jnp.asarray(cfg.lo, jnp.float32)
+    hi = jnp.asarray(cfg.hi, jnp.float32)
+    u = (pts - lo) / (hi - lo)                       # [0,1] inside the box
+    inside = jnp.all((u >= 0.0) & (u <= 1.0), axis=-1)
+    cell = jnp.clip((u * R).astype(jnp.int32), 0, R - 1)
+    flat = (cell[..., 0] * R + cell[..., 1]) * R + cell[..., 2]
+    vals = grid[flat.reshape(-1)].reshape(flat.shape)
+    return jnp.where(inside, vals, 0.0)
+
+
+def ray_probe_weights(grid: jnp.ndarray, cfg: OccupancyConfig,
+                      rays_o: jnp.ndarray, rays_d_unit: jnp.ndarray,
+                      ray_norms: jnp.ndarray, samp_near: float,
+                      samp_far: float):
+    """→ (probe_mids (B, P), weights (B, P)): density profile along rays.
+
+    Probes sit at bin midpoints of a uniform partition of [near, far];
+    an ``explore_frac`` of the total mass stays uniform.
+    """
+    B = rays_o.shape[0]
+    P = cfg.n_probes
+    edges = jnp.linspace(samp_near, samp_far, P + 1, dtype=jnp.float32)
+    mids = 0.5 * (edges[1:] + edges[:-1])                        # (P,)
+    z = jnp.broadcast_to(mids, (B, P))
+    z_metric = z * ray_norms.reshape(B, 1)
+    pts = rays_o[:, None, :] + rays_d_unit[:, None, :] * z_metric[..., None]
+    sigma = grid_values(grid, cfg, pts)                          # (B, P)
+
+    # Binarized occupancy (NerfAcc-style): a cell is "occupied" when its
+    # alpha over one probe bin clears alpha_thr.  Binarizing spreads the
+    # sample budget EVENLY across occupied bins — weighting by raw sigma
+    # piles samples onto already-dense cells and starves surface fringes,
+    # which measurably hurts novel-view PSNR.
+    delta = (samp_far - samp_near) / P * ray_norms.reshape(B, 1)
+    alpha = 1.0 - jnp.exp(-sigma * delta)
+    occupied = (alpha > cfg.alpha_thr).astype(jnp.float32)
+    total = jnp.sum(occupied, axis=-1, keepdims=True)
+    floor = cfg.explore_frac * jnp.maximum(total, 1.0) / P
+    return z, occupied + floor
+
+
+def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig,
+                           *, sigma_activation: str = "relu",
+                           pos_include_input: bool = True,
+                           pos_encoder: str = "freq", hash_cfg=None,
+                           chunk: int = 65536):
+    """→ jitted ``update(grid, params, key) -> grid``.
+
+    Queries the model's density at one jittered point per cell and applies
+    ``max(grid * decay, sigma)``.  View direction is irrelevant for sigma;
+    a fixed unit dir feeds the (unused) color branch.
+    """
+    from nerf_sandbox_tpu.core.encoding import positional_encoding
+    from nerf_sandbox_tpu.models.mlp import nerf_apply
+
+    R = cfg.resolution
+    lo = jnp.asarray(cfg.lo, jnp.float32)
+    hi = jnp.asarray(cfg.hi, jnp.float32)
+    idx = jnp.arange(R ** 3)
+    cell = jnp.stack([(idx // (R * R)) % R, (idx // R) % R, idx % R],
+                     axis=-1).astype(jnp.float32)                # (R^3, 3)
+
+    @jax.jit
+    def update(grid, params, key):
+        u = (cell + jax.random.uniform(key, cell.shape)) / R
+        pts = lo + u * (hi - lo)                                 # (R^3, 3)
+
+        def density(pts_chunk):
+            if pos_encoder == "hashgrid":
+                from nerf_sandbox_tpu.models.hashgrid import hash_encode
+                enc_pos = hash_encode(params["pos_grid"], pts_chunk, hash_cfg)
+            else:
+                enc_pos = positional_encoding(pts_chunk, pos_bands,
+                                              include_input=pos_include_input)
+            d = jnp.broadcast_to(
+                jnp.array([0.0, 0.0, 1.0], jnp.float32), pts_chunk.shape)
+            enc_dir = positional_encoding(d, dir_bands)
+            raw = nerf_apply(params, model_cfg, enc_pos, enc_dir,
+                             compute_dtype=jnp.bfloat16)[..., 3]
+            if sigma_activation == "softplus":
+                return jax.nn.softplus(raw)
+            return jax.nn.relu(raw)
+
+        n = pts.shape[0]
+        sigmas = jax.lax.map(density, pts.reshape(-1, chunk, 3)).reshape(n) \
+            if n % chunk == 0 and n > chunk else density(pts)
+        return jnp.maximum(grid * cfg.decay, sigmas)
+
+    return update

@@ -50,6 +50,10 @@ class EvalHyper(NamedTuple):
     use_pallas: bool = False
     pos_encoder: str = "freq"
     hash_cfg: object = None
+    # "occupancy": the params_c slot of render_tile carries the occupancy
+    # GRID; all nf_eval samples are placed from it (one model eval per ray).
+    sampling_mode: str = "hierarchical"
+    occ_cfg: object = None
 
 
 def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
@@ -64,6 +68,28 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
         T = rays_o.shape[0]
         (rays_o, rays_d_unit, ray_norms, viewdirs) = shard_batch_constraint(
             plan, (rays_o, rays_d_unit, ray_norms, viewdirs))
+
+        if hyper.sampling_mode == "occupancy":
+            from nerf_sandbox_tpu.models.occupancy import ray_probe_weights
+            occ_grid = params_c          # grid rides in the coarse-model slot
+            probe_z, probe_w = ray_probe_weights(
+                occ_grid, hyper.occ_cfg, rays_o, rays_d_unit, ray_norms,
+                hyper.samp_near, hyper.samp_far)
+            z = jnp.sort(sample_pdf(probe_z, probe_w, hyper.nf_eval,
+                                    deterministic=True), axis=-1)
+            comp, _, acc, depth = partial(
+                nerf_forward_pass, pos_bands=pos_bands, dir_bands=dir_bands,
+                pos_include_input=hyper.pos_include_input,
+                dir_include_input=hyper.dir_include_input,
+                white_bkgd=hyper.white_bkgd, ray_norms=ray_norms,
+                viewdirs_world_unit=viewdirs,
+                sigma_activation=hyper.sigma_activation,
+                infinite_last_bin=hyper.infinite_last_bin,
+                compute_dtype=jnp.dtype(hyper.compute_dtype),
+                use_pallas=hyper.use_pallas,
+                pos_encoder=hyper.pos_encoder, hash_cfg=hyper.hash_cfg,
+            )(params_f, hyper.model, rays_o, rays_d_unit, z)
+            return comp, acc, depth
 
         z = jnp.broadcast_to(
             stratified_samples(hyper.samp_near, hyper.samp_far, hyper.nc_eval),

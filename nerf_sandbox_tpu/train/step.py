@@ -54,6 +54,8 @@ class TrainHyper(NamedTuple):
     compute_dtype: str = "bfloat16"   # MLP matmul dtype (AMP-equivalent)
     pos_encoder: str = "freq"         # "freq" | "hashgrid"
     hash_cfg: Any = None              # HashGridConfig (hashable NamedTuple)
+    sampling_mode: str = "hierarchical"   # "hierarchical" | "occupancy"
+    occ_cfg: Any = None               # OccupancyConfig (hashable NamedTuple)
 
 
 class TrainState(NamedTuple):
@@ -113,6 +115,44 @@ def init_train_state(key: jax.Array, hyper: TrainHyper, tx, *,
     opt_state = tx.init({"c": params_c, "f": params_f})
     return TrainState(step=jnp.int32(0), params_c=params_c, params_f=params_f,
                       opt_state=opt_state)
+
+
+def _occupancy_loss(params_f, occ_grid, batch, key, hyper: TrainHyper,
+                    pos_bands, dir_bands):
+    """Occupancy-mode loss: grid probes place ALL samples; one model eval.
+
+    Replaces the coarse NeRF pass entirely (models/occupancy.py) — the
+    step is a single fine forward at hyper.nf samples/ray.
+    """
+    from nerf_sandbox_tpu.models.occupancy import ray_probe_weights
+
+    k_pdf, k_noise = jax.random.split(key)
+    probe_z, probe_w = ray_probe_weights(
+        occ_grid, hyper.occ_cfg, batch["rays_o_marching"],
+        batch["rays_d_marching_unit"], batch["rays_d_marching_norm"],
+        hyper.samp_near, hyper.samp_far)
+    zf = sample_pdf(probe_z, jax.lax.stop_gradient(probe_w), hyper.nf,
+                    key=k_pdf, deterministic=hyper.det_fine)
+    z = jnp.sort(zf, axis=-1)
+
+    comp_f, _, _, _ = nerf_forward_pass(
+        params_f, hyper.model, batch["rays_o_marching"],
+        batch["rays_d_marching_unit"], z,
+        pos_bands=pos_bands, dir_bands=dir_bands,
+        pos_include_input=hyper.pos_include_input,
+        dir_include_input=hyper.dir_include_input,
+        white_bkgd=hyper.white_bkgd,
+        ray_norms=batch["rays_d_marching_norm"],
+        viewdirs_world_unit=batch["rays_d_world_unit"],
+        sigma_activation=hyper.sigma_activation,
+        raw_noise_std=hyper.raw_noise_std, noise_key=k_noise,
+        infinite_last_bin=hyper.infinite_last_bin,
+        compute_dtype=jnp.dtype(hyper.compute_dtype),
+        pos_encoder=hyper.pos_encoder, hash_cfg=hyper.hash_cfg)
+
+    target = jnp.clip(jnp.nan_to_num(batch["rgb"]), 0.0, 1.0)
+    loss_f = jnp.mean((comp_f - target) ** 2)
+    return jnp.zeros_like(loss_f), loss_f
 
 
 def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
@@ -198,7 +238,14 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
                 pos_bands, dir_bands)
         return lc + lf, lf
 
-    def step_core(state: TrainState, scene: SceneArrays):
+    def occ_loss_fn(params_cf, batch, key, occ_grid):
+        lc, lf = _occupancy_loss(params_cf["f"], occ_grid, batch, key,
+                                 hyper, pos_bands, dir_bands)
+        return lc + lf, lf
+
+    occupancy = hyper.sampling_mode == "occupancy"
+
+    def step_core(state: TrainState, scene: SceneArrays, occ_grid=None):
         step = state.step + 1                          # 1-based, like the loop
         key = jax.random.fold_in(base_key, step)
         k_batch, k_loss = jax.random.split(key)
@@ -206,8 +253,14 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
         batch = sample_ray_batch(k_batch, step, scene, spec)
         batch = shard_batch_constraint(plan, batch)
 
-        (loss, mse_f), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            {"c": state.params_c, "f": state.params_f}, batch, k_loss)
+        if occupancy:
+            (loss, mse_f), grads = jax.value_and_grad(
+                occ_loss_fn, has_aux=True)(
+                {"c": state.params_c, "f": state.params_f}, batch, k_loss,
+                occ_grid)
+        else:
+            (loss, mse_f), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                {"c": state.params_c, "f": state.params_f}, batch, k_loss)
 
         # Non-finite loss → skip the update, keep counting (trainer.py:713-716).
         finite = jnp.isfinite(loss)
@@ -234,13 +287,13 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
 
     if scan_steps and scan_steps > 1:
         @partial(jax.jit, donate_argnums=(0,))
-        def train_chunk(state: TrainState, scene: SceneArrays):
+        def train_chunk(state: TrainState, scene: SceneArrays, occ_grid=None):
             def body(st, _):
-                st, m = step_core(st, scene)
+                st, m = step_core(st, scene, occ_grid)
                 return st, m["loss"]
             new_state, losses = jax.lax.scan(body, state, None,
                                              length=scan_steps - 1)
-            new_state, metrics = step_core(new_state, scene)
+            new_state, metrics = step_core(new_state, scene, occ_grid)
             metrics["loss_mean"] = (jnp.sum(losses) + metrics["loss"]) / scan_steps
             return new_state, metrics
 

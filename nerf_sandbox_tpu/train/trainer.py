@@ -162,6 +162,29 @@ class Trainer:
             precrop_iters=int(cfg.precrop_iters),
             precrop_frac=float(cfg.precrop_frac))
 
+        # ---- sampling strategy (occupancy grid replaces the coarse pass) ----
+        self.sampling_mode = str(cfg.sampling or "hierarchical")
+        self.occ_cfg = None
+        self.occ_grid = None
+        self.occ_update = None
+        if self.sampling_mode == "occupancy":
+            from nerf_sandbox_tpu.models.occupancy import (
+                OccupancyConfig, init_occupancy_grid)
+            if self.use_ndc:
+                lo, hi = (-1.0, -1.0, 0.0), (1.0, 1.0, 1.0)
+            else:
+                s = float(cfg.occ_aabb_scale)
+                lo, hi = (-s, -s, -s), (s, s, s)
+            self.occ_cfg = OccupancyConfig(
+                resolution=int(cfg.occ_res), lo=lo, hi=hi,
+                decay=float(cfg.occ_decay),
+                update_every=int(cfg.occ_update_every),
+                n_probes=int(cfg.occ_probes),
+                explore_frac=float(cfg.occ_explore_frac))
+            self.occ_grid = init_occupancy_grid(self.occ_cfg)
+            print(f"[occ] grid {cfg.occ_res}^3 over {lo}..{hi}, "
+                  f"update every {cfg.occ_update_every} steps")
+
         # ---- train hyper + optimizer + state ----
         self.hyper = TrainHyper(
             model=self.model_cfg, nc=cfg.nc, nf=cfg.nf, det_fine=cfg.det_fine,
@@ -173,7 +196,8 @@ class Trainer:
             pos_include_input=cfg.pos_include_input,
             dir_include_input=cfg.dir_include_input,
             compute_dtype=str(cfg.compute_dtype),
-            pos_encoder=self.pos_encoder, hash_cfg=self.hash_cfg)
+            pos_encoder=self.pos_encoder, hash_cfg=self.hash_cfg,
+            sampling_mode=self.sampling_mode, occ_cfg=self.occ_cfg)
 
         sched_params = dict(cfg.lr_scheduler_params or {})
         sched_params.setdefault("T_max", cfg.max_steps)
@@ -197,6 +221,14 @@ class Trainer:
             self.hyper, self.spec, self.tx, self.pos_bands, self.dir_bands,
             plan=self.plan, base_seed=cfg.seed)
 
+        if self.sampling_mode == "occupancy":
+            from nerf_sandbox_tpu.models.occupancy import make_occupancy_updater
+            self.occ_update = make_occupancy_updater(
+                self.model_cfg, self.pos_bands, self.dir_bands, self.occ_cfg,
+                sigma_activation=cfg.sigma_activation,
+                pos_include_input=cfg.pos_include_input,
+                pos_encoder=self.pos_encoder, hash_cfg=self.hash_cfg)
+
         # ---- eval renderer ----
         self.eval_hyper = EvalHyper(
             model=self.model_cfg, nc_eval=cfg.nc, nf_eval=cfg.nf,
@@ -207,7 +239,8 @@ class Trainer:
             dir_include_input=cfg.dir_include_input,
             compute_dtype=str(cfg.compute_dtype),
             use_pallas=self._pallas_eval_ok(),
-            pos_encoder=self.pos_encoder, hash_cfg=self.hash_cfg)
+            pos_encoder=self.pos_encoder, hash_cfg=self.hash_cfg,
+            sampling_mode=self.sampling_mode, occ_cfg=self.occ_cfg)
         self.render_tile = make_tile_renderer(
             self.eval_hyper, self.pos_bands, self.dir_bands, plan=self.plan)
 
@@ -262,7 +295,8 @@ class Trainer:
                 enc_dims={"pos": enc_pos_dim, "dir": enc_dir_dim},
                 near=self.near_world, far=self.far_world, use_ndc=self.use_ndc,
                 ndc_near_plane_world=self.ndc_near_plane_world,
-                convention=self.camera_convention, lr_info=self.lr_info)
+                convention=self.camera_convention, lr_info=self.lr_info,
+                probe_params=self.eval_params())
         except Exception as e:
             print(f"[DEBUG] run_debug dump failed: {e}")
 
@@ -368,19 +402,33 @@ class Trainer:
     # training loop
     # ------------------------------------------------------------------
 
+    def eval_params(self):
+        """(coarse-slot, fine params) for eval renders — the coarse slot
+        carries the occupancy grid in occupancy mode."""
+        if self.sampling_mode == "occupancy":
+            return self.occ_grid, self.state.params_f
+        return self.state.params_c, self.state.params_f
+
+    def _maybe_update_occupancy(self, step: int) -> None:
+        if self.occ_update is None:
+            return
+        if step % self.occ_cfg.update_every == 0 or self.occ_grid is None:
+            key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 13), step)
+            self.occ_grid = self.occ_update(self.occ_grid, self.state.params_f,
+                                            key)
+
     def _run_validation(self, step: int) -> None:
         t0 = time.perf_counter()
+        pc, pf = self.eval_params()
         _, metrics = self.valr.render_indices_at_step(
-            step, self.val_frame_indices, self.state.params_c,
-            self.state.params_f, use_mask="auto",
+            step, self.val_frame_indices, pc, pf, use_mask="auto",
             res_scale=float(self.cfg.val_res_scale),
             log_to_tb=bool(self.cfg.use_tb))
         if metrics.get("psnr_mean") is not None:
             print(f"[VAL] step={step} mean PSNR={metrics['psnr_mean']:.2f} dB "
                   f"over {len(self.val_frame_indices)} frame(s)")
         if self.cfg.progress_video_during_training:
-            start, count = self.valr.render_progress_block(
-                self.state.params_c, self.state.params_f)
+            start, count = self.valr.render_progress_block(*self.eval_params())
             if count > 0:
                 print(f"[PROGRESS] wrote progress frames [{start}..{start+count-1}]")
         dur = time.perf_counter() - t0
@@ -437,6 +485,11 @@ class Trainer:
                 self.hyper, self.spec, self.tx, self.pos_bands, self.dir_bands,
                 plan=self.plan, base_seed=cfg.seed, scan_steps=scan)
 
+        occupancy = self.sampling_mode == "occupancy"
+        if occupancy:
+            # rebuild the (non-checkpointed) grid after a resume
+            self._maybe_update_occupancy(start_step - 1)
+
         def _next_boundary(s: int) -> int:
             """Smallest step >= s at which a host action must run."""
             nxt_val = (self.val_steps[self._val_next_idx]
@@ -444,17 +497,26 @@ class Trainer:
                        else max_steps)
             nxt_ckpt = ((s - 1) // ckpt_every + 1) * ckpt_every
             nxt_diag = ((s - 1) // 500 + 1) * 500
-            return min(nxt_val, nxt_ckpt, nxt_diag, max_steps)
+            nxt = min(nxt_val, nxt_ckpt, nxt_diag, max_steps)
+            if occupancy:
+                every = self.occ_cfg.update_every
+                nxt = min(nxt, ((s - 1) // every + 1) * every)
+            return nxt
 
         step = start_step - 1
         while step < max_steps:
+            occ_args = (self.occ_grid,) if occupancy else ()
             if chunk_step is not None and step + scan <= _next_boundary(step + 1):
-                self.state, metrics = chunk_step(self.state, self.scene_arrays)
+                self.state, metrics = chunk_step(self.state, self.scene_arrays,
+                                                 *occ_args)
                 step += scan
             else:
                 self.state, metrics = self.train_step(self.state,
-                                                      self.scene_arrays)
+                                                      self.scene_arrays,
+                                                      *occ_args)
                 step += 1
+            if occupancy and step % self.occ_cfg.update_every == 0:
+                self._maybe_update_occupancy(step)
 
             # signals (checked every dispatch; cheap — host-only flags)
             if self.signals.sigusr1:
@@ -506,7 +568,7 @@ class Trainer:
                 self.monitor.guard(step)
 
             # hierarchical-sampling health check (trainer.py:937-979 cadence)
-            if step % 500 == 0:
+            if step % 500 == 0 and not occupancy:
                 self._fine_sampling_diagnostic(step)
 
             # scheduled validation
@@ -544,7 +606,7 @@ class Trainer:
             try:
                 print("[CAMERA PATH] Rendering final camera-path video...")
                 self.valr.render_camera_path_video(
-                    self.state.params_c, self.state.params_f,
+                    *self.eval_params(),
                     video_name="camera_path", overwrite=True)
             except Exception as e:
                 print(f"[CAMERA PATH] Failed: {e}")

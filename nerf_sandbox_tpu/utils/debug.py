@@ -108,8 +108,13 @@ def _mlp_table(params, cfg) -> list:
 def dump_run_debug(out_dir, *, cfg, scene, params_c, params_f, model_cfg,
                    render_tile, enc_dims: dict, near: float, far: float,
                    use_ndc: bool, ndc_near_plane_world: float,
-                   convention: str, lr_info: dict) -> Path:
-    """Write run_debug.json (debug_utils.py:162-345 role)."""
+                   convention: str, lr_info: dict,
+                   probe_params=None) -> Path:
+    """Write run_debug.json (debug_utils.py:162-345 role).
+
+    ``probe_params``: (coarse-slot, fine) pair for the forward probe — the
+    coarse slot carries the occupancy grid in occupancy mode.
+    """
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -144,9 +149,9 @@ def dump_run_debug(out_dir, *, cfg, scene, params_c, params_f, model_cfg,
                                 near_plane_world=ndc_near_plane_world)]
              if use_ndc else []),
         "forward_probe": probe_forward(
-            render_tile, params_c, params_f, scene, near=near, far=far,
-            use_ndc=use_ndc, near_plane_world=ndc_near_plane_world,
-            convention=convention),
+            render_tile, *(probe_params or (params_c, params_f)), scene,
+            near=near, far=far, use_ndc=use_ndc,
+            near_plane_world=ndc_near_plane_world, convention=convention),
     }
     path = out_dir / "run_debug.json"
     path.write_text(json.dumps(doc, indent=2, default=str))

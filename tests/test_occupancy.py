@@ -1,0 +1,132 @@
+"""Occupancy-grid sampling tests: lookup semantics, EMA update, training
+convergence, and CLI integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_sandbox_tpu.models.occupancy import (
+    OccupancyConfig, grid_values, init_occupancy_grid, make_occupancy_updater,
+    ray_probe_weights)
+
+CFG = OccupancyConfig(resolution=8, lo=(-1.0, -1.0, -1.0), hi=(1.0, 1.0, 1.0),
+                      n_probes=16, explore_frac=0.0)
+
+
+def test_grid_lookup_cells_and_bounds():
+    R = CFG.resolution
+    grid = jnp.arange(R ** 3, dtype=jnp.float32)
+    # center of cell (0,0,0) is at lo + half cell
+    p000 = jnp.array([[-1.0 + 0.124, -1.0 + 0.124, -1.0 + 0.124]])
+    np.testing.assert_allclose(np.asarray(grid_values(grid, CFG, p000)), [0.0])
+    # cell (1,2,3) → flat (1*8+2)*8+3 = 83
+    p = jnp.array([[-1.0 + 1.5 * 0.25, -1.0 + 2.5 * 0.25, -1.0 + 3.5 * 0.25]])
+    np.testing.assert_allclose(np.asarray(grid_values(grid, CFG, p)), [83.0])
+    # outside the box → 0
+    pout = jnp.array([[2.0, 0.0, 0.0], [0.0, -5.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(grid_values(grid, CFG, pout)), [0, 0])
+
+
+def test_probe_weights_follow_grid():
+    R = CFG.resolution
+    grid = jnp.zeros((R ** 3,))
+    # occupy only the central slab z in [-0.25, 0)
+    idx = jnp.arange(R ** 3)
+    zc = idx % R
+    grid = jnp.where(zc == 3, 100.0, grid)
+    # ray marching +z through the box center
+    o = jnp.array([[0.01, 0.01, -2.0]])
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    z, w = ray_probe_weights(grid, CFG, o, d, jnp.ones((1, 1)), 1.0, 3.0)
+    w = np.asarray(w[0])
+    z = np.asarray(z[0])
+    # mass concentrated where the ray crosses the occupied slab
+    hot = z[np.argmax(w)] - 2.0   # world z of the hottest probe
+    assert -0.25 <= hot < 0.05
+    assert w.max() > 10 * (w.min() + 1e-9)
+
+
+def test_uniform_grid_gives_uniform_weights():
+    grid = init_occupancy_grid(CFG)
+    o = jnp.zeros((4, 3))
+    d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (4, 3))
+    z, w = ray_probe_weights(grid, CFG, o, d, jnp.ones((4, 1)), 0.0, 0.9)
+    w = np.asarray(w)
+    np.testing.assert_allclose(w, w[0, 0], rtol=1e-5)
+
+
+def test_updater_ema_and_density_pickup():
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig, init_nerf_params
+
+    model = NeRFConfig(63, 27, n_layers=2, hidden_dim=32, skip_pos=1)
+    params = init_nerf_params(jax.random.PRNGKey(0), model,
+                              initial_acc_opacity=0.9,
+                              sigma_activation="relu")
+    pos_b, dir_b = vanilla_encoders()
+    upd = make_occupancy_updater(model, jnp.asarray(pos_b), jnp.asarray(dir_b),
+                                 CFG, sigma_activation="relu")
+    grid = jnp.zeros((CFG.resolution ** 3,))
+    g1 = upd(grid, params, jax.random.PRNGKey(1))
+    assert float(g1.max()) > 0.0            # picked up model density
+    # decay: with a zero-density model the grid decays geometrically
+    params0 = init_nerf_params(jax.random.PRNGKey(0), model)
+    # force large negative sigma bias → relu(sigma)=0 everywhere
+    params0["sigma_out"]["b"] = jnp.full((1,), -100.0)
+    params0["sigma_out"]["w"] = params0["sigma_out"]["w"] * 0.0
+    g2 = upd(g1, params0, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1) * CFG.decay,
+                               rtol=1e-5)
+
+
+def test_occupancy_train_step_learns():
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+    from nerf_sandbox_tpu.data.sampler import RayBatchSpec, SceneArrays
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig
+    from nerf_sandbox_tpu.train.step import (
+        TrainHyper, build_train_step, init_train_state, make_optimizer)
+    from tests.test_train_step import _scene
+
+    arrs = SceneArrays.from_scene(_scene())
+    model = NeRFConfig(63, 27, n_layers=2, hidden_dim=64, skip_pos=1)
+    occ = OccupancyConfig(resolution=16, lo=(-3.0, -3.0, -3.0),
+                          hi=(3.0, 3.0, 3.0), n_probes=16, update_every=8)
+    hyper = TrainHyper(model=model, nc=8, nf=16, samp_near=2.0, samp_far=6.0,
+                       sampling_mode="occupancy", occ_cfg=occ)
+    spec = RayBatchSpec(rays_per_batch=64, image_h=16, image_w=16)
+    tx = make_optimizer(5e-3, "none", {})
+    state = init_train_state(jax.random.PRNGKey(0), hyper, tx, near=2.0, far=6.0)
+    pos_b, dir_b = vanilla_encoders()
+    step_fn = build_train_step(hyper, spec, tx, jnp.asarray(pos_b),
+                               jnp.asarray(dir_b))
+    upd = make_occupancy_updater(model, jnp.asarray(pos_b), jnp.asarray(dir_b),
+                                 occ, sigma_activation="relu")
+    grid = init_occupancy_grid(occ)
+    losses = []
+    for i in range(30):
+        state, m = step_fn(state, arrs, grid)
+        losses.append(float(m["loss"]))
+        if (i + 1) % occ.update_every == 0:
+            grid = upd(grid, state.params_f, jax.random.PRNGKey(i))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert np.isfinite(losses).all()
+
+
+def test_cli_occupancy_smoke(tmp_path):
+    import json
+    from tests.test_loaders import _make_blender
+    from nerf_sandbox_tpu.scripts.train_nerf import main
+    scene = _make_blender(tmp_path / "scene", n_frames=2, size=16)
+    out = tmp_path / "exp"
+    main(["--data_root", str(scene), "--out_dir", str(out),
+          "--data_kind", "blender", "--sampling", "occupancy",
+          "--occ_res", "16", "--occ_update_every", "4", "--occ_probes", "8",
+          "--n_layers", "2", "--hidden_dim", "32", "--skip_pos", "1",
+          "--max_steps", "8", "--rays_per_batch", "32", "--nc", "4",
+          "--nf", "8", "--num_val_steps", "1", "--ckpt_every", "8",
+          "--log_every", "4", "--progress_frames", "2", "--eval_chunk", "128"])
+    assert (out / "checkpoints" / "ckpt_0000008.ckpt").exists()
+    dbg = json.loads((out / "run_debug.json").read_text())
+    assert dbg["forward_probe"]["rgb_finite"]
+    # validation rendered through the occupancy path
+    assert list((out / "validation" / "val_idx0000" / "rgb").glob("step_*.png"))
