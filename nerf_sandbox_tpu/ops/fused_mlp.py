@@ -199,7 +199,8 @@ def fused_nerf_apply(params, cfg: NeRFConfig, enc_pos, enc_dir,
 
 
 def fusable(cfg: NeRFConfig) -> bool:
-    """The kernel covers the reference architecture family: any n_layers,
-    one skip at 0<skip_pos<n_layers, hidden multiple of 128."""
+    """The kernel covers the reference architecture family: one skip at
+    0<skip_pos<n_layers, hidden multiple of 128, and at least one non-skip
+    mid layer (n_layers >= 3) for the stacked-mid-weights layout."""
     return (cfg.hidden_dim % 128 == 0 and 0 < cfg.skip_pos < cfg.n_layers
-            and cfg.n_layers >= 2)
+            and cfg.n_layers >= 3)

@@ -57,3 +57,6 @@ def test_fusable_guard():
     assert fusable(CFG)
     assert not fusable(NeRFConfig(63, 27, hidden_dim=100))
     assert not fusable(NeRFConfig(63, 27, skip_pos=0))
+    # no non-skip mid layers → the stacked-mids layout can't be built
+    assert not fusable(NeRFConfig(24, 27, n_layers=2, hidden_dim=128,
+                                  skip_pos=1))
