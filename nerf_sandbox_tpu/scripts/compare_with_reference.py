@@ -228,6 +228,47 @@ def main(argv=None):
                           float(np.abs(np.asarray(acc_my) - acc_ref.numpy()).max()),
                           ok=5e-4))
 
+    # ---------------- 7. tied-weight FULL-IMAGE render parity ----------------
+    # role of compare_nerf_repos.py --do_render: render the same pose with
+    # tied weights through BOTH frameworks' full eval pipelines
+    # (coarse -> det inverse-CDF fine -> merge -> composite).
+    print("[7] tied-weight full-image render parity")
+    from nerf_sandbox_tpu.render.renderer import EvalHyper, make_tile_renderer
+    from nerf_sandbox_tpu.render.renderer import render_pose as my_render_pose
+    from nerf_sandbox.source.utils.render_utils import render_pose as ref_render_pose
+
+    torch.manual_seed(1)
+    ref_mlp_f = RefNeRF(enc_pos_dim=63, enc_dir_dim=27, n_layers=8,
+                        hidden_dim=256, skip_pos=4)
+    params_f = params_from_torch_state_dict(
+        {k: v.detach().numpy() for k, v in ref_mlp_f.state_dict().items()}, cfg)
+    fr0 = ref_scene.frames[0]
+    Hs, Ws = 16, 20
+    Ks = np.asarray(fr0.K, np.float32).copy()
+    Ks[0] *= Ws / fr0.image.shape[1]
+    Ks[1] *= Hs / fr0.image.shape[0]
+    with torch.no_grad():
+        ref_img = ref_render_pose(
+            c2w=np.asarray(fr0.c2w), H=Hs, W=Ws, K=Ks, near=2.0, far=6.0,
+            pos_enc=pos_enc, dir_enc=dir_enc, nerf_c=ref_mlp, nerf_f=ref_mlp_f,
+            device="cpu", white_bkgd=True, nc_eval=16, nf_eval=16,
+            eval_chunk=128, perturb=False, sigma_activation="relu",
+            use_ndc=False, convention="opengl", infinite_last_bin=True)
+    hyper = EvalHyper(model=cfg, nc_eval=16, nf_eval=16, white_bkgd=True,
+                      sigma_activation="relu", infinite_last_bin=True,
+                      samp_near=2.0, samp_far=6.0, compute_dtype="float32")
+    tile = make_tile_renderer(hyper, jnp.asarray(pos_b), jnp.asarray(dir_b))
+    my_img = my_render_pose(tile, params, params_f, np.asarray(fr0.c2w),
+                            Hs, Ws, Ks, eval_chunk=128)
+    results.append(_grade(
+        "full-image tied-weight rgb",
+        float(np.abs(my_img["rgb"] - ref_img["rgb"].numpy()).max()), ok=1e-3,
+        warn=5e-3))
+    results.append(_grade(
+        "full-image tied-weight depth",
+        float(np.abs(my_img["depth"] - ref_img["depth"].numpy()).max()),
+        ok=5e-3, warn=5e-2))
+
     # ---------------- report ----------------
     n_fail = sum(r["status"] == "FAIL" for r in results)
     n_warn = sum(r["status"] == "WARN" for r in results)
