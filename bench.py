@@ -92,4 +92,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:          # the remote-compile tunnel can flake;
+        import sys, traceback       # one retry rescues the round's datapoint
+        traceback.print_exc()
+        print("bench: first attempt failed; retrying once...", file=sys.stderr)
+        main()
