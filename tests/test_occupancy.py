@@ -112,6 +112,27 @@ def test_occupancy_train_step_learns():
     assert np.isfinite(losses).all()
 
 
+def test_cli_occupancy_ndc_llff(tmp_path):
+    """Occupancy sampling in NDC marching space: the grid box must be the
+    NDC frustum [-1,1]x[-1,1]x[0,1], not the world AABB."""
+    import json
+    from tests.test_loaders import _make_llff
+    from nerf_sandbox_tpu.scripts.train_nerf import main
+    root = _make_llff(tmp_path / "fern", n=5, H=12, W=16)
+    out = tmp_path / "exp"
+    main(["--data_root", str(root), "--out_dir", str(out),
+          "--data_kind", "llff", "--use_ndc", "--sampling", "occupancy",
+          "--occ_res", "16", "--occ_update_every", "4", "--occ_probes", "8",
+          "--n_layers", "2", "--hidden_dim", "32", "--skip_pos", "1",
+          "--max_steps", "4", "--rays_per_batch", "32", "--nc", "4",
+          "--nf", "8", "--num_val_steps", "1", "--ckpt_every", "4",
+          "--log_every", "2", "--progress_frames", "2", "--eval_chunk", "128"])
+    dbg = json.loads((out / "run_debug.json").read_text())
+    assert dbg["scene"]["use_ndc"] is True
+    assert dbg["forward_probe"]["rgb_finite"]
+    assert (out / "checkpoints" / "ckpt_0000004.ckpt").exists()
+
+
 def test_cli_occupancy_smoke(tmp_path):
     import json
     from tests.test_loaders import _make_blender
