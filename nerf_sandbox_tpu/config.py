@@ -177,7 +177,10 @@ class Config:
     ckpt_max_to_keep: int = 0          # orbax retention; 0 = keep all
     mesh_devices: int = 0              # 0 = all visible devices
     compute_dtype: str = "bfloat16"    # MLP matmul dtype on TPU
-    use_pallas: bool = True            # fused ray-march kernel when available
+    # Fused Pallas MLP for eval renders. Opt-in: it matches XLA numerics
+    # (tests/test_fused_mlp.py) but XLA's own fusion is currently ~10-20%
+    # faster at eval tile sizes on v5e (RESULTS.md).
+    use_pallas: bool = False
     profile_dir: Optional[str] = None  # jax.profiler trace output
 
     # Sampling strategy (new — NerfAcc-style acceleration, docs/ROADMAP.md)
