@@ -135,6 +135,20 @@ def test_llff_requires_minified_dir(tmp_path):
         LLFFSceneLoader(root, downscale=4).load("train")
 
 
+def test_llff_scene_generator_loads(tmp_path):
+    """The procedural forward-facing scene (quality harness) round-trips
+    through the LLFF loader with sane bounds and visible content."""
+    from tests.make_llff_scene import make_llff_scene
+    root = make_llff_scene(tmp_path / "llff", views=6, size=32)
+    loader = LLFFSceneLoader(root)
+    sc = loader.load("train")
+    near, far = loader.get_global_near_far()
+    assert len(sc) == 5            # one holdout view
+    assert 0.5 < near < far < 5.0
+    img = sc.frames[0].image
+    assert (img[..., :3].mean(-1) < 0.95).mean() > 0.1   # spheres visible
+
+
 def test_llff_recenter_matches_reference_math(tmp_path):
     root = _make_llff(tmp_path / "fern")
     sc = LLFFSceneLoader(root, use_llff_holdout=False).load("train")
