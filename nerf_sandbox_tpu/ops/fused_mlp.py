@@ -6,14 +6,17 @@ sample tile:
 
 * every weight matrix is packed once into MXU-aligned bf16 blocks and
   stays in VMEM across the whole grid (~1.3 MB total — far under the
-  16 MB/core budget)
-* per-tile activations never touch HBM: the XLA version writes/reads a
-  (Q,256) activation to HBM per trunk layer (≈1.6 GB of traffic per fine
-  pass at Q=196k fp32); here a (TQ,256) tile lives in registers/VMEM
+  16 MB/core budget); per-tile activations live in VMEM
 * the skip concat is folded into TWO matmuls (h @ W4_h + enc @ W4_e) —
   no concatenated buffer is materialised
 * the sigma head rides along as extra output columns of the feature
   matmul (one (256,384) matmul instead of two dispatches)
+
+Measured reality (RESULTS.md): XLA's own fusion of this chain already runs
+at the v5e matmul ceiling for K=256 shapes (~70 TFLOP/s), so this kernel
+TIES it at training tile sizes and trails ~20% at eval tiles — it is kept
+as a selectable path (``--use_pallas``) and the substrate for deeper
+fusion (in-kernel encode/composite, custom VJP), not as the default.
 
 The kernel computes RAW [rgb logits, sigma logit] exactly like
 ``nerf_apply`` — activations/noise/compositing remain in the caller, so
