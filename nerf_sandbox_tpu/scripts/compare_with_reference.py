@@ -119,6 +119,48 @@ def main(argv=None):
     results.append(_grade("poses", dp))
     results.append(_grade("images", di))
 
+    # ---------------- 1b. LLFF loader parity ----------------
+    print("[1b] loader parity (LLFF: scale, recenter, holdout, near/far)")
+    try:
+        from nerf_sandbox.source.data.loaders.llff_loader import (
+            LLFFSceneLoader as RefLLFF)
+        from nerf_sandbox_tpu.data.llff_loader import LLFFSceneLoader
+
+        import sys as _sys
+        _sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+        from tests.make_llff_scene import make_llff_scene
+        llff_root = make_llff_scene(
+            Path(tempfile.mkdtemp(prefix="parity_llff_")) / "scene",
+            views=8, size=24)
+
+        ref_l = RefLLFF(llff_root, downscale=1, white_bkgd=True)
+        my_l = LLFFSceneLoader(llff_root, downscale=1, white_bkgd=True)
+        ref_tr, my_tr = ref_l.load("train"), my_l.load("train")
+        assert len(ref_tr.frames) == len(my_tr.frames)
+        dp = max(float(np.abs(np.asarray(rf.c2w) - np.asarray(mf.c2w)).max())
+                 for rf, mf in zip(ref_tr.frames, my_tr.frames))
+        dK = max(float(np.abs(np.asarray(rf.K) - np.asarray(mf.K)).max())
+                 for rf, mf in zip(ref_tr.frames, my_tr.frames))
+        results.append(_grade("llff poses (scaled+recentered)", dp, ok=1e-4))
+        results.append(_grade("llff intrinsics", dK, ok=1e-4))
+        nf_ref = ref_l.get_global_near_far()
+        nf_my = my_l.get_global_near_far()
+        results.append(_grade("llff near/far percentiles",
+                              max(abs(nf_ref[0] - nf_my[0]),
+                                  abs(nf_ref[1] - nf_my[1])), ok=1e-5))
+        ref_val, my_val = ref_l.load("val"), my_l.load("val")
+        same_holdout = len(ref_val.frames) == len(my_val.frames) and all(
+            np.allclose(np.asarray(a.c2w), np.asarray(b.c2w), atol=1e-4)
+            for a, b in zip(ref_val.frames, my_val.frames))
+        results.append({"name": "llff holdout split",
+                        "max_abs_diff": 0.0 if same_holdout else 1.0,
+                        "status": "OK" if same_holdout else "FAIL"})
+        print(f"  [{'OK' if same_holdout else 'FAIL':4s}] llff holdout split")
+    except Exception as e:
+        print(f"  [FAIL] llff loader parity errored: {e}")
+        results.append({"name": "llff loader parity", "max_abs_diff": 1.0,
+                        "status": "FAIL"})
+
     # ---------------- 2. camera-ray parity ----------------
     print("[2] camera-ray parity")
     fr = ref_scene.frames[0]
