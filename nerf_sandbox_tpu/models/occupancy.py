@@ -100,6 +100,7 @@ def ray_probe_weights(grid: jnp.ndarray, cfg: OccupancyConfig,
 def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig,
                            *, sigma_activation: str = "relu",
                            pos_include_input: bool = True,
+                           dir_include_input: bool = True,
                            pos_encoder: str = "freq", hash_cfg=None,
                            chunk: int = 65536):
     """→ jitted ``update(grid, params, key) -> grid``.
@@ -107,6 +108,11 @@ def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig
     Queries the model's density at one jittered point per cell and applies
     ``max(grid * decay, sigma)``.  View direction is irrelevant for sigma;
     a fixed unit dir feeds the (unused) color branch.
+
+    To REBUILD the grid from scratch (resume / render-only — the grid is
+    not checkpointed), call with a zero grid: ``update(zeros, params, key)``
+    returns exactly the current density field (max(0·decay, sigma) = sigma),
+    which is what the EMA converges to.
     """
     from nerf_sandbox_tpu.core.encoding import positional_encoding
     from nerf_sandbox_tpu.models.mlp import nerf_apply
@@ -132,7 +138,8 @@ def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig
                                               include_input=pos_include_input)
             d = jnp.broadcast_to(
                 jnp.array([0.0, 0.0, 1.0], jnp.float32), pts_chunk.shape)
-            enc_dir = positional_encoding(d, dir_bands)
+            enc_dir = positional_encoding(d, dir_bands,
+                                          include_input=dir_include_input)
             raw = nerf_apply(params, model_cfg, enc_pos, enc_dir,
                              compute_dtype=jnp.bfloat16)[..., 3]
             if sigma_activation == "softplus":
@@ -140,8 +147,15 @@ def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig
             return jax.nn.relu(raw)
 
         n = pts.shape[0]
-        sigmas = jax.lax.map(density, pts.reshape(-1, chunk, 3)).reshape(n) \
-            if n % chunk == 0 and n > chunk else density(pts)
+        if n > chunk:
+            # pad to a whole number of chunks so memory stays bounded at
+            # any --occ_res (the tail is masked out by the slice below)
+            n_pad = (-n) % chunk
+            pts_p = jnp.concatenate([pts, jnp.zeros((n_pad, 3), pts.dtype)])
+            sigmas = jax.lax.map(density,
+                                 pts_p.reshape(-1, chunk, 3)).reshape(-1)[:n]
+        else:
+            sigmas = density(pts)
         return jnp.maximum(grid * cfg.decay, sigmas)
 
     return update

@@ -71,7 +71,7 @@ def main(argv=None):
             tb_logger=trainer.tb_logger, eval_chunk=int(cfg.eval_chunk),
             cancel_flag_getter=lambda: trainer.signals.cancel_render)
         if trainer.sampling_mode == "occupancy":
-            trainer._maybe_update_occupancy(0)   # grid isn't checkpointed
+            trainer._rebuild_occupancy(0)        # grid isn't checkpointed
         valr.render_camera_path_video(
             *trainer.eval_params(), video_name="camera_path", overwrite=True)
         return

@@ -112,6 +112,11 @@ def init_train_state(key: jax.Array, hyper: TrainHyper, tx, *,
         from nerf_sandbox_tpu.models.hashgrid import init_hash_tables
         params_c["pos_grid"] = init_hash_tables(kgc, hyper.hash_cfg)
         params_f["pos_grid"] = init_hash_tables(kgf, hyper.hash_cfg)
+    if hyper.sampling_mode == "occupancy":
+        # no coarse model in occupancy mode: the grid rides in the coarse
+        # slot at eval time; an empty pytree avoids dead params/opt-state/
+        # checkpoint weight (notably a 16MB+ unused hash table)
+        params_c = {}
     opt_state = tx.init({"c": params_c, "f": params_f})
     return TrainState(step=jnp.int32(0), params_c=params_c, params_f=params_f,
                       opt_state=opt_state)
@@ -239,9 +244,25 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
         return lc + lf, lf
 
     def occ_loss_fn(params_cf, batch, key, occ_grid):
-        lc, lf = _occupancy_loss(params_cf["f"], occ_grid, batch, key,
-                                 hyper, pos_bands, dir_bands)
-        return lc + lf, lf
+        if hyper.micro_chunks and hyper.micro_chunks > 1:
+            m = hyper.micro_chunks
+            B = batch["rgb"].shape[0]
+            assert B % m == 0, f"batch {B} not divisible by micro_chunks {m}"
+            chunked = jax.tree_util.tree_map(
+                lambda x: x.reshape(m, B // m, *x.shape[1:]), batch)
+            keys = jax.random.split(key, m)
+
+            def body(acc, xs):
+                sub_batch, k = xs
+                _, lf = _occupancy_loss(params_cf["f"], occ_grid, sub_batch,
+                                        k, hyper, pos_bands, dir_bands)
+                return acc + lf / m, None
+
+            lf, _ = jax.lax.scan(body, 0.0, (chunked, keys))
+        else:
+            _, lf = _occupancy_loss(params_cf["f"], occ_grid, batch, key,
+                                    hyper, pos_bands, dir_bands)
+        return lf, lf
 
     occupancy = hyper.sampling_mode == "occupancy"
 

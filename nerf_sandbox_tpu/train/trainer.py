@@ -227,6 +227,7 @@ class Trainer:
                 self.model_cfg, self.pos_bands, self.dir_bands, self.occ_cfg,
                 sigma_activation=cfg.sigma_activation,
                 pos_include_input=cfg.pos_include_input,
+                dir_include_input=cfg.dir_include_input,
                 pos_encoder=self.pos_encoder, hash_cfg=self.hash_cfg)
 
         # ---- eval renderer ----
@@ -412,10 +413,22 @@ class Trainer:
     def _maybe_update_occupancy(self, step: int) -> None:
         if self.occ_update is None:
             return
-        if step % self.occ_cfg.update_every == 0 or self.occ_grid is None:
+        if step % self.occ_cfg.update_every == 0:
             key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 13), step)
             self.occ_grid = self.occ_update(self.occ_grid, self.state.params_f,
                                             key)
+
+    def _rebuild_occupancy(self, step: int) -> None:
+        """Reconstruct the (non-checkpointed) grid from the current model:
+        updating a ZERO grid yields max(0·decay, sigma) = the density field
+        the EMA converges to. Used on resume and --render_only; starting
+        from the all-ones init instead would read as fully occupied for
+        ~log(alpha_thr)/log(decay) update cycles."""
+        if self.occ_update is None:
+            return
+        key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 13), step)
+        self.occ_grid = self.occ_update(jnp.zeros_like(self.occ_grid),
+                                        self.state.params_f, key)
 
     def _run_validation(self, step: int) -> None:
         t0 = time.perf_counter()
@@ -486,9 +499,9 @@ class Trainer:
                 plan=self.plan, base_seed=cfg.seed, scan_steps=scan)
 
         occupancy = self.sampling_mode == "occupancy"
-        if occupancy:
-            # rebuild the (non-checkpointed) grid after a resume
-            self._maybe_update_occupancy(start_step - 1)
+        if occupancy and start_step > 1:
+            # rebuild the (non-checkpointed) grid from the restored model
+            self._rebuild_occupancy(start_step - 1)
 
         def _next_boundary(s: int) -> int:
             """Smallest step >= s at which a host action must run."""

@@ -95,6 +95,8 @@ def probe_forward(render_tile, params_c, params_f, scene, *, grid: int = 8,
 
 
 def _mlp_table(params, cfg) -> list:
+    if not params or "trunk" not in params:
+        return ["(no model in this slot — occupancy grid used instead)"]
     rows = []
     for i, layer in enumerate(params["trunk"]):
         mark = " <-- SKIP (concat gamma(x) into input)" if i == cfg.skip_pos else ""

@@ -96,6 +96,7 @@ def test_occupancy_train_step_learns():
     spec = RayBatchSpec(rays_per_batch=64, image_h=16, image_w=16)
     tx = make_optimizer(5e-3, "none", {})
     state = init_train_state(jax.random.PRNGKey(0), hyper, tx, near=2.0, far=6.0)
+    assert state.params_c == {}        # no coarse model in occupancy mode
     pos_b, dir_b = vanilla_encoders()
     step_fn = build_train_step(hyper, spec, tx, jnp.asarray(pos_b),
                                jnp.asarray(dir_b))
@@ -151,3 +152,34 @@ def test_cli_occupancy_smoke(tmp_path):
     assert dbg["forward_probe"]["rgb_finite"]
     # validation rendered through the occupancy path
     assert list((out / "validation" / "val_idx0000" / "rgb").glob("step_*.png"))
+
+    # resume: the non-checkpointed grid is rebuilt from the restored model
+    # (zero-grid update) and training continues past the old horizon
+    main(["--data_root", str(scene), "--out_dir", str(out),
+          "--data_kind", "blender", "--sampling", "occupancy",
+          "--occ_res", "16", "--occ_update_every", "4", "--occ_probes", "8",
+          "--n_layers", "2", "--hidden_dim", "32", "--skip_pos", "1",
+          "--max_steps", "10", "--rays_per_batch", "32", "--nc", "4",
+          "--nf", "8", "--num_val_steps", "1", "--ckpt_every", "10",
+          "--log_every", "4", "--progress_frames", "2", "--eval_chunk", "128",
+          "--resume", "latest"])
+    assert (out / "checkpoints" / "ckpt_0000010.ckpt").exists()
+
+
+def test_rebuild_equals_density_field():
+    """update(zeros) == current density field (the rebuild-on-resume rule)."""
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig, init_nerf_params
+
+    model = NeRFConfig(63, 27, n_layers=2, hidden_dim=32, skip_pos=1)
+    params = init_nerf_params(jax.random.PRNGKey(0), model,
+                              initial_acc_opacity=0.8, sigma_activation="relu")
+    pos_b, dir_b = vanilla_encoders()
+    upd = make_occupancy_updater(model, jnp.asarray(pos_b), jnp.asarray(dir_b),
+                                 CFG, sigma_activation="relu")
+    key = jax.random.PRNGKey(5)
+    rebuilt = upd(jnp.zeros((CFG.resolution ** 3,)), params, key)
+    ones_once = upd(jnp.ones((CFG.resolution ** 3,)), params, key)
+    # ones-init carries a stale 0.95 floor; zero-init equals pure density
+    assert float(rebuilt.min()) < float(ones_once.min())
+    assert float(rebuilt.max()) > 0.0
