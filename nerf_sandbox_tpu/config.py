@@ -153,6 +153,9 @@ class Config:
     resume_path: Optional[str] = None
     resume: Optional[str] = None
     resume_no_optim: bool = False
+    # Load a checkpoint whose param keys don't fully match the current
+    # architecture (missing leaves keep fresh-init values, with a warning).
+    allow_partial_restore: bool = False
 
     # Path rendering
     render_path_after: bool = False
@@ -305,6 +308,9 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--resume", type=str, default=None,
                    help="'latest' or a checkpoint path; overrides --auto_resume/--resume_path")
     g.add_argument("--resume_no_optim", action="store_true")
+    g.add_argument("--allow_partial_restore", action="store_true",
+                   help="Permit loading a checkpoint whose param keys don't "
+                        "fully match the current architecture")
 
     g = p.add_argument_group("path rendering")
     g.add_argument("--render_path_after", action="store_true")
@@ -356,6 +362,41 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+def explicit_flag_names(argv=None) -> set:
+    """Names of flags the user actually typed (vs argparse defaults).
+
+    Re-parses with all defaults suppressed, so the resulting namespace only
+    contains explicitly provided arguments. Used to warn when ``--vanilla``
+    overrides an explicit flag and to flag accepted-but-no-op TPU flags.
+    """
+    p = build_argparser()
+    for a in p._actions:
+        a.default = argparse.SUPPRESS
+        a.required = False
+    ns, _ = p.parse_known_args(argv)
+    return set(vars(ns))
+
+
+# Flags accepted for reference-CLI parity that have no effect on TPU
+# (chunking is fused into the jitted step; JAX owns device placement;
+# datacenter TPUs need no laptop thermal guard).
+NOOP_TPU_FLAGS = (
+    "train_chunk", "eval_micro_chunks", "cache_images_on_device", "device",
+    "gpu_temp_threshold", "gpu_cooldown_seconds",
+    "thermal_throttle_max_micro", "thermal_throttle_sleep",
+)
+
+
+def warn_noop_flags(explicit: set) -> None:
+    for name in NOOP_TPU_FLAGS:
+        if name in explicit:
+            print(f"[cfg] note: --{name} is accepted for CLI parity but is "
+                  "a no-op on TPU")
+    if "thermal_throttle" in explicit:
+        print("[cfg] note: --thermal_throttle maps to the HBM-pressure "
+              "monitor on TPU; there is no thermal throttling")
+
+
 def make_cfg_from_args(args: argparse.Namespace) -> Config:
     """Namespace → Config with normalisation (train_nerf.py:216-240)."""
     known = {f.name for f in fields(Config)}
@@ -374,23 +415,28 @@ def make_cfg_from_args(args: argparse.Namespace) -> Config:
     return cfg
 
 
-def apply_vanilla_profile(cfg: Config) -> Config:
+def apply_vanilla_profile(cfg: Config, explicit: set | None = None) -> Config:
     """Dataset-aware bmild/nerf preset (train_nerf.py:243-308).
 
     Blender: world rays, white bkgd, mixed-frame, no precrop.
     LLFF: NDC(near=1.0), single-frame + precrop 1000@0.5, white bkgd.
     Both: Lx=10/Ld=4, 8x256 skip@4, nc=64/nf=128, N_rand=1024,
     raw_noise_std=1.0, lr=5e-4, infinite_last_bin=True.
+
+    Like the reference (which hard-forces these in the Trainer,
+    trainer.py:277-291/309-341/411-416), the profile overrides explicit
+    flags — but warns per overridden flag instead of doing so silently.
     """
     kind = (cfg.data_kind or "").lower()
-    cfg.rays_per_batch = 1024
-    cfg.raw_noise_std = 1.0
-    cfg.infinite_last_bin = True
-    cfg.sigma_activation = "relu"
-    cfg.nc, cfg.nf = 64, 128
-    cfg.n_layers, cfg.hidden_dim, cfg.skip_pos = 8, 256, 4
-    cfg.pos_num_freqs, cfg.dir_num_freqs = 10, 4
-    cfg.lr = 5e-4
+    forced = dict(
+        rays_per_batch=1024, raw_noise_std=1.0, infinite_last_bin=True,
+        sigma_activation="relu", nc=64, nf=128, n_layers=8, hidden_dim=256,
+        skip_pos=4, pos_num_freqs=10, dir_num_freqs=4, lr=5e-4)
+    for name, val in forced.items():
+        if explicit and name in explicit and getattr(cfg, name) != val:
+            print(f"[cfg] --vanilla forces {name}={val} "
+                  f"(overriding --{name} {getattr(cfg, name)})")
+        setattr(cfg, name, val)
     cfg.lr_scheduler = cfg.lr_scheduler or "cosine"
     if not cfg.lr_scheduler_params:
         cfg.lr_scheduler_params = {"eta_min": 5e-6, "T_max": cfg.max_steps}

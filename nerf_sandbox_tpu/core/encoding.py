@@ -9,8 +9,8 @@ all sin features for every band come first, then all cos features
 i.e. layout ``[x?, sin(f0 x0..2), sin(f1 x0..2), ..., cos(f0 x0..2), ...]``.
 
 TPU notes: the encoding is a tiny VPU-bound op; under jit XLA fuses it into
-the consumer matmul's producer.  The fused Pallas ray-march kernel in
-``ops/fused_raymarch.py`` re-implements this inline in VMEM.
+the consumer matmul's producer (the Pallas path in ``ops/fused_mlp.py``
+consumes the already-encoded features).
 """
 
 from __future__ import annotations

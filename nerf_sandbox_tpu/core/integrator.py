@@ -13,8 +13,8 @@ Parity target: ``nerf_sandbox/source/utils/render_utils.py:108-167``
 
 TPU notes: the cumprod runs along the per-ray sample axis (length <= 192) —
 XLA lowers it to a log-depth scan that fuses with the surrounding
-elementwise ops; the Pallas kernel in ``ops/fused_raymarch.py`` performs the
-same composite in VMEM immediately after the MLP tile.
+elementwise ops; the fused Pallas MLP path (``ops/fused_mlp.py``) leaves
+this composite to XLA after the MLP tile.
 """
 
 from __future__ import annotations

@@ -79,11 +79,33 @@ class LLFFSceneLoader:
         return base, 1
 
     @staticmethod
+    def _png_has_gamma_chunk(path: Path) -> bool:
+        """True if the PNG carries a gAMA chunk (the only case where the
+        reference's ``apply_gamma=True`` read changes pixel values)."""
+        try:
+            with open(path, "rb") as f:
+                head = f.read(4096)
+            return b"gAMA" in head
+        except OSError:
+            return False
+
+    @staticmethod
     def _read_image_gamma(path: Path) -> np.ndarray:
         if path.suffix.lower() == ".png":
             try:
                 arr = imageio.imread(path, apply_gamma=True)
             except TypeError:
+                # this imageio has no apply_gamma kwarg. apply_gamma only
+                # alters pixels when the PNG has a gAMA chunk — the plain
+                # read is bit-exact otherwise. Fail loudly rather than
+                # silently diverge from the reference pipeline.
+                if LLFFSceneLoader._png_has_gamma_chunk(path):
+                    raise RuntimeError(
+                        f"{path} carries a PNG gAMA chunk but this imageio "
+                        "does not support apply_gamma=True; pixel values "
+                        "would silently differ from the reference LLFF "
+                        "pipeline. Install imageio with freeimage support "
+                        "or strip the gAMA chunk.")
                 arr = imageio.imread(path)
         else:
             arr = imageio.imread(path)

@@ -89,7 +89,10 @@ def _crop_bounds(step, spec: RayBatchSpec):
     f = spec.precrop_frac
     ch0, ch1 = int(H * 0.5 * (1.0 - f)), int(H * 0.5 * (1.0 + f))
     cw0, cw1 = int(W * 0.5 * (1.0 - f)), int(W * 0.5 * (1.0 + f))
-    active = step < spec.precrop_iters
+    # `step` is the 1-based in-progress step; the reference gates on a
+    # 0-based completed count (< precrop_iters), so <= here yields the same
+    # precrop_iters cropped batches (not precrop_iters - 1).
+    active = step <= spec.precrop_iters
     h0 = jnp.where(active, ch0, 0).astype(jnp.int32)
     h1 = jnp.where(active, ch1, H).astype(jnp.int32)
     w0 = jnp.where(active, cw0, 0).astype(jnp.int32)

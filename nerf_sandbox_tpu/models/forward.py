@@ -15,8 +15,8 @@ on TPU the ray batch itself is the tile unit and is sharded over the mesh).
 The noise is drawn from a threaded PRNG key in fp32 (matching the
 reference's fp32-noise-under-AMP detail, render_utils.py:239-241).
 
-``ops/fused_raymarch.py`` provides the Pallas-fused equivalent; this XLA
-version is the correctness oracle and autodiff fallback.
+``ops/fused_mlp.py`` provides a Pallas-fused MLP for the eval path; this
+XLA version is the correctness oracle and autodiff fallback.
 """
 
 from __future__ import annotations

@@ -201,9 +201,22 @@ class ValidationRenderer:
                                params_c, params_f, *, use_mask="auto",
                                res_scale: float = 1.0,
                                log_to_tb: bool = False):
-        """Step-tagged triplets + PSNR (validation_renderer.py:394-542)."""
+        """Step-tagged triplets + PSNR (validation_renderer.py:394-542).
+
+        ``use_mask="auto"`` mirrors the reference's ``not composite_on_load``
+        (validation_renderer.py:507): alpha-masked PSNR is the primary metric
+        when the GT was NOT composited onto white at load (white_bkgd=False)
+        and the frame carries an alpha channel.  Both masked and unmasked
+        PSNR are always reported when a mask exists.
+        """
         paths: List[Path] = []
         psnrs: List[float] = []
+        psnrs_masked: List[Optional[float]] = []
+        psnrs_unmasked: List[float] = []
+        if isinstance(use_mask, bool):
+            mask_primary = use_mask
+        else:  # "auto" = not composite_on_load
+            mask_primary = not bool(getattr(self.cfg, "white_bkgd", True))
         idxs = self._resolve_frame_indices(frame_indices)
 
         for fid in idxs:
@@ -218,10 +231,13 @@ class ValidationRenderer:
                 (root / "rgb", root / "opacity", root / "depth"),
                 (name, name, name), res)
 
-            mask_flag = use_mask if isinstance(use_mask, bool) else False
-            gt, mask = self._gt_for_frame(fid, (H, W), use_mask=mask_flag)
-            psnr = compute_psnr(res["rgb"], gt, mask)
+            gt, mask = self._gt_for_frame(fid, (H, W), use_mask=True)
+            psnr_um = compute_psnr(res["rgb"], gt, None)
+            psnr_m = compute_psnr(res["rgb"], gt, mask) if mask is not None else None
+            psnr = psnr_m if (mask_primary and psnr_m is not None) else psnr_um
             psnrs.append(psnr)
+            psnrs_masked.append(psnr_m)
+            psnrs_unmasked.append(psnr_um)
 
             if log_to_tb and self.tb is not None:
                 self.tb.log_validation_images(
@@ -231,9 +247,16 @@ class ValidationRenderer:
                     near=0.0 if self.use_ndc else self.near_world,
                     far=1.0 if self.use_ndc else self.far_world)
                 self.tb.add_scalar(f"val/psnr_frame_{fid}", psnr, int(step))
+                self.tb.add_scalar(f"val/psnr_unmasked_frame_{fid}",
+                                   psnr_um, int(step))
+                if psnr_m is not None:
+                    self.tb.add_scalar(f"val/psnr_masked_frame_{fid}",
+                                       psnr_m, int(step))
                 self.tb.flush()
 
         metrics = {"psnr_per_frame": psnrs,
+                   "psnr_masked_per_frame": psnrs_masked,
+                   "psnr_unmasked_per_frame": psnrs_unmasked,
                    "psnr_mean": (sum(psnrs) / len(psnrs)) if psnrs else None}
         if log_to_tb and self.tb is not None and metrics["psnr_mean"] is not None:
             self.tb.add_scalar("val/psnr_mean", metrics["psnr_mean"], int(step))

@@ -24,12 +24,14 @@ from pathlib import Path
 
 from nerf_sandbox_tpu.config import (
     apply_path_defaults, apply_vanilla_profile, build_argparser,
-    make_cfg_from_args)
+    explicit_flag_names, make_cfg_from_args, warn_noop_flags)
 
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     cfg = make_cfg_from_args(args)
+    explicit = explicit_flag_names(argv)
+    warn_noop_flags(explicit)
 
     # Resolve 'auto' BEFORE the vanilla profile: its dataset-specific branch
     # (NDC, precrop, white bkgd, single-frame) keys off the real kind.
@@ -42,7 +44,7 @@ def main(argv=None):
             cfg.centering = "auto" if kind == "llff" else "none"
 
     if cfg.vanilla:
-        cfg = apply_vanilla_profile(cfg)
+        cfg = apply_vanilla_profile(cfg, explicit=explicit)
     cfg = apply_path_defaults(cfg, kind)
 
     Path(cfg.out_dir).mkdir(parents=True, exist_ok=True)

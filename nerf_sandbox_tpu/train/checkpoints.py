@@ -43,16 +43,32 @@ def _flatten(tree) -> dict:
 
 
 def _unflatten_like(template, flat: dict, prefix: str):
+    """Rebuild a pytree like ``template`` from path-keyed ``flat`` arrays.
+
+    → (tree, missing, used): ``missing`` lists template leaves absent from
+    the file (those keep the template's — freshly initialised — value) and
+    ``used`` the file keys consumed, so the caller can detect a checkpoint
+    saved under a different architecture instead of silently "resuming" a
+    partially random model.
+    """
     leaves_with_path, treedef = jax.tree_util.tree_flatten_with_path(template)
-    new_leaves = []
+    new_leaves, missing, used = [], [], set()
     for path, leaf in leaves_with_path:
         key = prefix + _SEP.join(str(p) for p in path)
-        if key in flat:
-            arr = flat[key]
+        arr = flat.get(key)
+        if arr is not None and (not hasattr(leaf, "shape")
+                                or arr.shape == leaf.shape):
             new_leaves.append(arr.astype(leaf.dtype) if hasattr(leaf, "dtype") else arr)
+            used.add(key)
         else:
+            # absent OR shape-incompatible (different architecture): keep
+            # the template's fresh-init leaf and report it
             new_leaves.append(leaf)
-    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+            missing.append(key if arr is None else f"{key} (shape "
+                           f"{arr.shape} != {leaf.shape})")
+            if arr is not None:
+                used.add(key)   # consumed (incompatible) — not "extra" too
+    return jax.tree_util.tree_unflatten(treedef, new_leaves), missing, used
 
 
 def ckpt_path(ckpt_dir: Path, step: int) -> Path:
@@ -155,6 +171,12 @@ class OrbaxCheckpointer:
 _STEP_RE = re.compile(r"(?:ckpt|step)[_-]?(\d+)", re.IGNORECASE)
 
 
+def step_of_path(p) -> int:
+    """Step number encoded in a checkpoint filename, or -1."""
+    m = _STEP_RE.search(Path(p).name)
+    return int(m.group(1)) if m else -1
+
+
 def find_latest_checkpoint(ckpt_dir, out_dir=None) -> Optional[Path]:
     candidates = []
     for d in filter(None, [ckpt_dir, out_dir]):
@@ -175,8 +197,15 @@ def find_latest_checkpoint(ckpt_dir, out_dir=None) -> Optional[Path]:
     return candidates[-1]
 
 
-def load_checkpoint(path, state, *, load_optim: bool = True) -> Tuple[Any, int, dict]:
-    """Restore into the template ``state`` → (new_state, step, cfg_dict)."""
+def load_checkpoint(path, state, *, load_optim: bool = True,
+                    allow_partial: bool = False) -> Tuple[Any, int, dict]:
+    """Restore into the template ``state`` → (new_state, step, cfg_dict).
+
+    A key-set mismatch between the file and the template (checkpoint saved
+    under a different --encoder / --sampling / architecture) raises unless
+    ``allow_partial`` (--allow_partial_restore), in which case missing
+    leaves keep their fresh-init values with a loud warning.
+    """
     path = Path(path)
     print(f"[CKPT] loading <- {path}")
     with np.load(path, allow_pickle=False) as zf:
@@ -184,11 +213,31 @@ def load_checkpoint(path, state, *, load_optim: bool = True) -> Tuple[Any, int, 
     meta = json.loads(bytes(flat.pop("__meta__")).decode())
     step = int(meta.get("step", 0))
 
-    params_c = _unflatten_like(state.params_c, flat, "params_c" + _SEP)
-    params_f = _unflatten_like(state.params_f, flat, "params_f" + _SEP)
+    params_c, miss_c, used_c = _unflatten_like(state.params_c, flat, "params_c" + _SEP)
+    params_f, miss_f, used_f = _unflatten_like(state.params_f, flat, "params_f" + _SEP)
+    missing = miss_c + miss_f
+    used = used_c | used_f
+    extra = [k for k in flat
+             if k.startswith(("params_c" + _SEP, "params_f" + _SEP))
+             and k not in used]
+    if missing or extra:
+        msg = (f"checkpoint/model key mismatch: {len(missing)} template "
+               f"param(s) missing from the file, {len(extra)} file param(s) "
+               f"unused (e.g. missing={missing[:3]} extra={extra[:3]}). "
+               "The checkpoint was likely saved under a different --encoder/"
+               "--sampling/architecture config.")
+        if not allow_partial:
+            raise ValueError(
+                msg + " Pass --allow_partial_restore to load anyway "
+                "(missing params stay freshly initialised).")
+        print(f"[CKPT] WARNING: partial restore — {msg}")
+
     opt_state = state.opt_state
     if load_optim and any(k.startswith("opt" + _SEP) for k in flat):
-        opt_state = _unflatten_like(state.opt_state, flat, "opt" + _SEP)
+        opt_state, miss_o, _ = _unflatten_like(state.opt_state, flat, "opt" + _SEP)
+        if miss_o:
+            print(f"[CKPT] WARNING: {len(miss_o)} optimizer leaves missing "
+                  "from the file; they keep fresh-init values.")
 
     import jax.numpy as jnp
     new_state = state._replace(step=jnp.int32(step), params_c=params_c,

@@ -303,7 +303,8 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
             new_params["f"], state.params_f)
 
         metrics = {"loss": loss, "psnr": mse2psnr(mse_f), "mse_f": mse_f,
-                   "finite": finite}
+                   "finite": finite,
+                   "skipped": (1 - finite.astype(jnp.int32))}
         return TrainState(step, params_c, params_f, opt_state), metrics
 
     if scan_steps and scan_steps > 1:
@@ -311,11 +312,15 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
         def train_chunk(state: TrainState, scene: SceneArrays, occ_grid=None):
             def body(st, _):
                 st, m = step_core(st, scene, occ_grid)
-                return st, m["loss"]
-            new_state, losses = jax.lax.scan(body, state, None,
-                                             length=scan_steps - 1)
+                return st, (m["loss"], m["skipped"])
+            new_state, (losses, skips) = jax.lax.scan(body, state, None,
+                                                      length=scan_steps - 1)
             new_state, metrics = step_core(new_state, scene, occ_grid)
             metrics["loss_mean"] = (jnp.sum(losses) + metrics["loss"]) / scan_steps
+            # NaN events anywhere in the chunk must surface, not just the
+            # last step's (VERDICT r1): report the chunk's skip count.
+            metrics["skipped"] = jnp.sum(skips) + metrics["skipped"]
+            metrics["finite"] = metrics["skipped"] == 0
             return new_state, metrics
 
         return train_chunk

@@ -380,7 +380,16 @@ class Trainer:
 
     def find_latest_checkpoint(self):
         if self.cfg.ckpt_backend == "orbax":
-            return self._orbax.latest_step()
+            # Signal checkpoints (pause/interrupt) are always written as
+            # tagged .npz files even under the orbax backend — resume from
+            # whichever source has the higher step so an interrupt save is
+            # never silently discarded.
+            ob_step = self._orbax.latest_step()
+            npz = ckpt.find_latest_checkpoint(self.ckpt_dir, self.out_dir)
+            npz_step = ckpt.step_of_path(npz) if npz is not None else -1
+            if npz is not None and (ob_step is None or npz_step > int(ob_step)):
+                return npz
+            return ob_step
         return ckpt.find_latest_checkpoint(self.ckpt_dir, self.out_dir)
 
     def load_checkpoint(self, path, load_optim: bool = True) -> int:
@@ -388,8 +397,9 @@ class Trainer:
             self.state, step = self._orbax.restore(path, self.state,
                                                    load_optim=load_optim)
             return step
-        self.state, step, _ = ckpt.load_checkpoint(path, self.state,
-                                                   load_optim=load_optim)
+        self.state, step, _ = ckpt.load_checkpoint(
+            path, self.state, load_optim=load_optim,
+            allow_partial=bool(getattr(self.cfg, "allow_partial_restore", False)))
         return step
 
     def load_latest_checkpoint(self, load_optim: bool = True) -> int:
@@ -482,6 +492,7 @@ class Trainer:
         last_log_time = time.time()
         last_log_step = start_step - 1
         metrics = None
+        pending_skips = []   # device scalars; summed (host) only at log time
 
         profiling = False
         if cfg.profile_dir:
@@ -530,6 +541,8 @@ class Trainer:
                 step += 1
             if occupancy and step % self.occ_cfg.update_every == 0:
                 self._maybe_update_occupancy(step)
+            if "skipped" in metrics:
+                pending_skips.append(metrics["skipped"])
 
             # signals (checked every dispatch; cheap — host-only flags)
             if self.signals.sigusr1:
@@ -551,8 +564,13 @@ class Trainer:
             if step - last_log_step >= log_every or step == max_steps:
                 loss_val = float(metrics["loss"])
                 psnr_val = float(metrics["psnr"])
-                if not bool(metrics["finite"]):
-                    print(f"[WARN] Non-finite loss at step {step}; update skipped.")
+                n_skipped = int(np.sum(jax.device_get(pending_skips))) \
+                    if pending_skips else 0
+                pending_skips.clear()
+                if n_skipped > 0:
+                    print(f"[WARN] {n_skipped} non-finite loss step(s) since "
+                          f"the last log (ending at step {step}); those "
+                          "updates were skipped.")
                 now = time.time()
                 steps_delta = max(1, step - last_log_step)
                 sec_per_step = (now - last_log_time) / steps_delta

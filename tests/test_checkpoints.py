@@ -105,3 +105,52 @@ def test_resume_no_optim(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(restored.opt_state),
                     jax.tree_util.tree_leaves(fresh.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_partial_restore_mismatch(tmp_path):
+    """A ckpt saved under a different architecture must not silently resume
+    a partially random model (ADVICE r1): raise unless allow_partial."""
+    import pytest
+    state, _ = _state()
+    save_checkpoint(tmp_path, 9, state, {})
+
+    # template with one extra trunk layer → template keys missing from file
+    model = NeRFConfig(enc_pos_dim=63, enc_dir_dim=27, n_layers=3,
+                       hidden_dim=32, skip_pos=1)
+    hyper = TrainHyper(model=model, nc=8, nf=8)
+    tx = make_optimizer(1e-3, "none", {})
+    fresh = init_train_state(jax.random.PRNGKey(5), hyper, tx,
+                             near=2.0, far=6.0)
+    with pytest.raises(ValueError, match="key mismatch"):
+        load_checkpoint(tmp_path / "ckpt_0000009.ckpt", fresh)
+
+    restored, step, _ = load_checkpoint(tmp_path / "ckpt_0000009.ckpt", fresh,
+                                        allow_partial=True)
+    assert step == 9
+
+
+def test_orbax_resume_prefers_newer_tagged_npz(tmp_path, capsys):
+    """Signal checkpoints are tagged .npz even under --ckpt_backend orbax;
+    --auto_resume must pick whichever source has the higher step (ADVICE r1)."""
+    from tests.test_loaders import _make_blender
+    from nerf_sandbox_tpu.scripts.train_nerf import main
+    scene = _make_blender(tmp_path / "scene", n_frames=2, size=16)
+    out = tmp_path / "exp"
+    base = ["--data_root", str(scene), "--out_dir", str(out),
+            "--data_kind", "blender", "--ckpt_backend", "orbax",
+            "--max_steps", "4", "--rays_per_batch", "32", "--nc", "4",
+            "--nf", "4", "--num_val_steps", "1", "--ckpt_every", "2",
+            "--log_every", "2", "--progress_frames", "2",
+            "--eval_chunk", "128"]
+    main(base)          # orbax saves at steps 2, 4
+
+    # simulate an interrupt save AFTER the last orbax save
+    state, _ = _state()
+    state = state._replace(step=jnp.int32(5))
+    save_checkpoint(out / "checkpoints", 5, state, {},
+                    tag="interrupt_step_5", latest=False)
+
+    capsys.readouterr()
+    base[base.index("--max_steps") + 1] = "6"
+    main(base + ["--auto_resume", "--allow_partial_restore"])
+    assert "Resuming from step 6" in capsys.readouterr().out

@@ -94,3 +94,25 @@ def test_micro_chunk_derivation():
     assert cfg.train_micro_chunks == 4 and cfg.eval_micro_chunks == 4
     cfg = _parse(["--micro_chunks", "4", "--train_micro_chunks", "2"])
     assert cfg.train_micro_chunks == 2 and cfg.eval_micro_chunks == 4
+
+
+def test_vanilla_forces_with_warning(capsys):
+    from nerf_sandbox_tpu.config import (
+        Config, apply_vanilla_profile, explicit_flag_names)
+    argv = ["--data_root", "x", "--out_dir", "y", "--vanilla", "--nf", "64"]
+    explicit = explicit_flag_names(argv)
+    assert "nf" in explicit and "nc" not in explicit
+    cfg = Config(data_kind="blender", nf=64)
+    cfg = apply_vanilla_profile(cfg, explicit=explicit)
+    assert cfg.nf == 128                      # reference semantics: forced
+    out = capsys.readouterr().out
+    assert "overriding --nf" in out           # ...but no longer silent
+
+
+def test_noop_flag_notes(capsys):
+    from nerf_sandbox_tpu.config import explicit_flag_names, warn_noop_flags
+    warn_noop_flags(explicit_flag_names(
+        ["--data_root", "x", "--out_dir", "y", "--train_chunk", "4096"]))
+    assert "--train_chunk" in capsys.readouterr().out
+    warn_noop_flags(explicit_flag_names(["--data_root", "x", "--out_dir", "y"]))
+    assert capsys.readouterr().out == ""

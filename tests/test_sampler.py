@@ -122,3 +122,20 @@ def test_ndc_marching_differs_from_world():
     assert float(jnp.abs(batch["rays_o_marching"] - batch["rays_o_world"]).max()) > 1e-3
     rn = np.asarray(batch["rays_d_marching_norm"])
     assert np.isfinite(rn).all() and (rn > 0).all()
+
+
+def test_precrop_boundary_inclusive():
+    """The 1-based step == precrop_iters is still cropped (the reference
+    crops precrop_iters batches with its 0-based counter, ADVICE r1);
+    step == precrop_iters + 1 uses the full window."""
+    scene = _tiny_scene(n=1, H=16, W=16)
+    arrs = SceneArrays.from_scene(scene)
+    spec = _spec(scene, precrop_iters=10, precrop_frac=0.5, rays_per_batch=512)
+
+    def spread(b):
+        d = np.asarray(b["rays_d_world_unit"])
+        return d[:, 0].max() - d[:, 0].min()
+
+    b_at = sample_ray_batch(jax.random.PRNGKey(0), jnp.int32(10), arrs, spec)
+    b_after = sample_ray_batch(jax.random.PRNGKey(0), jnp.int32(11), arrs, spec)
+    assert spread(b_after) > spread(b_at) * 1.5

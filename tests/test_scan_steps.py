@@ -58,3 +58,52 @@ def test_scan_chunk_equals_singles():
     a = np.asarray(s1.params_c["trunk"][0]["w"])
     b = np.asarray(s2.params_c["trunk"][0]["w"])
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_scan_chunk_skipped_count(monkeypatch):
+    """Non-finite losses inside a scan chunk must surface as a count, not
+    just the last step's flag (VERDICT r1 weak #5). The composite path is
+    nan-guarded (integrator parity), so the NaN is injected at the loss."""
+    import jax
+    import jax.numpy as jnp
+    import nerf_sandbox_tpu.train.step as step_mod
+    from tests.test_train_step import _scene
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+    from nerf_sandbox_tpu.data.sampler import RayBatchSpec, SceneArrays
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig
+    from nerf_sandbox_tpu.train.step import (
+        TrainHyper, build_train_step, init_train_state, make_optimizer)
+
+    arrs = SceneArrays.from_scene(_scene())
+    model = NeRFConfig(63, 27, n_layers=2, hidden_dim=64, skip_pos=1)
+    hyper = TrainHyper(model=model, nc=8, nf=8, samp_near=2.0, samp_far=6.0)
+    spec = RayBatchSpec(rays_per_batch=64, image_h=16, image_w=16)
+    tx = make_optimizer(5e-4, "none", {})
+    pos_b, dir_b = vanilla_encoders()
+
+    orig = step_mod._coarse_fine_losses
+
+    def poisoned(*a, **k):
+        lc, lf = orig(*a, **k)
+        return lc + jnp.float32(jnp.nan), lf
+
+    monkeypatch.setattr(step_mod, "_coarse_fine_losses", poisoned)
+    chunk_bad = build_train_step(hyper, spec, tx, jnp.asarray(pos_b),
+                                 jnp.asarray(dir_b), scan_steps=4)
+    state = init_train_state(jax.random.PRNGKey(0), hyper, tx,
+                             near=2.0, far=6.0)
+    w_before = np.asarray(state.params_f["trunk"][0]["w"]).copy()
+    new_state, m = chunk_bad(state, arrs)      # (state buffers are donated)
+    assert int(m["skipped"]) == 4
+    assert not bool(m["finite"])
+    # all updates skipped -> fine params untouched
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params_f["trunk"][0]["w"]), w_before)
+
+    monkeypatch.setattr(step_mod, "_coarse_fine_losses", orig)
+    chunk_ok = build_train_step(hyper, spec, tx, jnp.asarray(pos_b),
+                                jnp.asarray(dir_b), scan_steps=4)
+    healthy = init_train_state(jax.random.PRNGKey(0), hyper, tx,
+                               near=2.0, far=6.0)
+    _, m2 = chunk_ok(healthy, arrs)
+    assert int(m2["skipped"]) == 0 and bool(m2["finite"])

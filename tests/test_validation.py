@@ -120,3 +120,25 @@ def test_render_selected_frames(tmp_path):
     import imageio.v2 as imageio
     img = imageio.imread(out[0])
     assert img.shape[:2] == (8, 8)
+
+
+def test_masked_psnr_auto_and_override(tmp_path):
+    """use_mask='auto' = not composite_on_load (reference
+    validation_renderer.py:505-522): with white_bkgd=False and RGBA GT the
+    primary PSNR is alpha-masked; both variants are always reported."""
+    valr, pc, pf = _valr(tmp_path)            # RGBA frames, white_bkgd=False
+    assert not valr.cfg.white_bkgd
+    _, m = valr.render_indices_at_step(3, [0], pc, pf, use_mask="auto")
+    pm, pu = m["psnr_masked_per_frame"][0], m["psnr_unmasked_per_frame"][0]
+    assert pm is not None and pu is not None
+    assert abs(pm - pu) > 1e-6                # mask actually changes the metric
+    assert m["psnr_per_frame"][0] == pm       # auto → masked primary
+
+    # explicit override: use_mask=False → unmasked primary
+    _, m2 = valr.render_indices_at_step(4, [0], pc, pf, use_mask=False)
+    assert m2["psnr_per_frame"][0] == m2["psnr_unmasked_per_frame"][0]
+
+    # white_bkgd=True (composited on load) → auto resolves to unmasked
+    valr.cfg.white_bkgd = True
+    _, m3 = valr.render_indices_at_step(5, [0], pc, pf, use_mask="auto")
+    assert m3["psnr_per_frame"][0] == m3["psnr_unmasked_per_frame"][0]
