@@ -180,10 +180,11 @@ class Config:
     ckpt_max_to_keep: int = 0          # orbax retention; 0 = keep all
     mesh_devices: int = 0              # 0 = all visible devices
     compute_dtype: str = "bfloat16"    # MLP matmul dtype on TPU
-    # Fused Pallas MLP for eval renders. Opt-in: it matches XLA numerics
-    # (tests/test_fused_mlp.py) but XLA's own fusion is currently ~10-20%
-    # faster at eval tile sizes on v5e (RESULTS.md).
-    use_pallas: bool = False
+    # Fused Pallas ray-march (encode+MLP+composite in one VMEM kernel) for
+    # eval renders: 1.34x the XLA path on v5e (RESULTS.md). Default ON;
+    # applies on TPU + frequency encoder + fusable arch, else falls back
+    # to XLA. --use_pallas false forces the XLA path everywhere.
+    use_pallas: bool = True
     profile_dir: Optional[str] = None  # jax.profiler trace output
 
     # Sampling strategy (new — NerfAcc-style acceleration, docs/ROADMAP.md)

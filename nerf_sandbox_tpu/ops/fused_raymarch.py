@@ -1,0 +1,282 @@
+"""Pallas TPU kernel: fully-fused eval ray-march (SURVEY §7 stage 8).
+
+One kernel per (ray-tile, sample-chunk) grid step performs, entirely in
+VMEM: positional ENCODE → skip-MLP trunk → σ/rgb HEADS → transmittance
+COMPOSITE, with per-ray accumulators carried across sample chunks in
+scratch.  Replaces the XLA eval path's biggest cost — per-layer (Q,256)
+activation round-trips through HBM (~10 KB of HBM traffic per MLP row) —
+with ~2 KB of HBM traffic per RAY (geometry in, composite + per-sample
+weights out).  MLP weights stay resident in VMEM across the whole grid.
+
+Role parity: the fused equivalent of ``models/forward.py:nerf_forward_pass``
+(reference ``render_utils.py:171-283``) at eval time (no σ-noise, no grad).
+The XLA path remains the correctness oracle (tests/test_fused_raymarch.py)
+and the training/autodiff path.
+
+Numerics: matmuls in bf16 with f32 accumulation (the same AMP-equivalent
+mode as the XLA eval path); positional-encode args, σ/α/transmittance and
+all composite accumulation in f32.  The exclusive cumprod is computed as
+``exp(exclusive_cumsum(log(1-α+1e-10)))`` — identical up to fp association
+with the integrator's ``cumprod(1-α+1e-10)`` (integrator.py:63).
+
+Design notes (why these shapes):
+* grid = (ray_tiles, sample_chunks), sample chunk minor: TPU grids execute
+  sequentially, so VMEM scratch legally carries per-ray state (log T,
+  Σw, Σw·z, Σw·rgb) across the chunks of one ray tile.
+* per-step matmul rows Q = TILE_R·CHUNK_N = 2048 keep live activations
+  ~7 MB — inside the 16 MB VMEM budget with double buffering.
+* per-sample arrays (z, Δ, weights) are laid out TRANSPOSED (N, B) so
+  sample-chunk blocks are (16, 128) — sublane 16, lane 128, exactly the
+  hardware tile.  Per-ray→per-sample broadcasts are one-hot matmuls
+  ((Q,T_R)×(T_R,·), ~4 MFLOP — noise next to the 1.7 GFLOP MLP chain);
+  the encode "coordinate × band" map is one (3, EP_PAD) matmul plus
+  masked sin/cos selects — no gathers anywhere.
+* the composite runs in the (CHUNK_N, TILE_R) domain: the exclusive
+  cumsum along samples is a strict-lower-triangular (16,16) matmul, and
+  per-ray reductions land in an (8, TILE_R) scratch written straight to
+  the transposed (8, B) ray-output array at the final chunk.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerf_sandbox_tpu.models.mlp import NeRFConfig
+from nerf_sandbox_tpu.ops.fused_mlp import (
+    _enc_pads, _pad_to, fusable, pack_nerf_params, pallas_available)
+
+TILE_R = 128          # rays per grid tile (lane dim of transposed arrays)
+CHUNK_N = 16          # samples per chunk
+
+
+def _encode_constants(bands: np.ndarray, include_input: bool, pad: int):
+    """(B, sel_id, sel_sin, sel_cos) implementing core/encoding.py's column
+    layout [x?, sin(f0·xyz), sin(f1·xyz), ..., cos(f0·xyz), ...] as one
+    (3,pad) arg matmul + three (1,pad) selector masks."""
+    D = 3
+    B = np.zeros((D, pad), np.float32)
+    sid = np.zeros((1, pad), np.float32)
+    ssin = np.zeros((1, pad), np.float32)
+    scos = np.zeros((1, pad), np.float32)
+    c = 0
+    if include_input:
+        for d in range(D):
+            B[d, c] = 1.0
+            sid[0, c] = 1.0
+            c += 1
+    for sel in (ssin, scos):
+        for f in bands:
+            for d in range(D):
+                B[d, c] = float(f)
+                sel[0, c] = 1.0
+                c += 1
+    return B, sid, ssin, scos
+
+
+def _kernel(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
+            w0, b0, w_mid, b_mid, wskip_h, wskip_e, bskip,
+            w_sf, b_sf, wc1, bc1, wc2, bc2,
+            out_ray, out_wt, state, *, skip_pos: int, n_layers: int,
+            hidden: int, softplus_sigma: bool, white_bkgd: bool,
+            n_chunks: int):
+    f32 = jnp.float32
+    j = pl.program_id(1)
+    Q = TILE_R * CHUNK_N
+
+    @pl.when(j == 0)
+    def _():
+        state[:] = jnp.zeros_like(state[:])
+
+    # ---- per-(sample,ray) channels; rows ordered q = k*TILE_R + r ----
+    # Mosaic cannot shape-cast (CN,T_R) <-> (Q,1) (lanes <-> sublanes), so
+    # both directions are one-hot matmul relayouts (~8 MFLOP — noise next
+    # to the MLP chain).
+    z_tr = zt_ref[:]                                       # (CN, T_R) f32
+    dt_tr = dtt_ref[:]                                     # (CN, T_R) pre-scaled
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Q, TILE_R), 0) % TILE_R
+    cols = jax.lax.broadcasted_iota(jnp.int32, (Q, TILE_R), 1)
+    onehot = (rows == cols).astype(f32)                    # (Q, T_R): ray of q
+    kq = jax.lax.broadcasted_iota(jnp.int32, (Q, CHUNK_N), 0) // TILE_R
+    kc = jax.lax.broadcasted_iota(jnp.int32, (Q, CHUNK_N), 1)
+    S = (kq == kc).astype(f32)                             # (Q, CN): chunk of q
+
+    # per-ray channels broadcast to samples
+    g_q = jnp.dot(onehot, geom[:], preferred_element_type=f32)   # (Q, 8)
+    ed_q = jnp.dot(onehot.astype(jnp.bfloat16),
+                   ed_ref[:].astype(jnp.bfloat16),
+                   preferred_element_type=f32).astype(jnp.bfloat16)
+
+    # (CN,T_R) -> (Q,1): pick row k_q then column r_q
+    z_rows = jnp.dot(S, z_tr, preferred_element_type=f32)        # (Q, T_R)
+    z_q = jnp.sum(z_rows * onehot, axis=1, keepdims=True)        # (Q, 1)
+
+    zm_q = z_q * g_q[:, 6:7]                               # z * ||d||
+    pts3 = g_q[:, 0:3] + g_q[:, 3:6] * zm_q                # (Q, 3) f32
+
+    # ---- positional encode (f32 args; bf16 features) ----
+    args = jnp.dot(pts3, Bmat[:], preferred_element_type=f32)    # (Q, EP_PAD)
+    enc_pos = (sid[:] * args + ssin[:] * jnp.sin(args)
+               + scos[:] * jnp.cos(args)).astype(jnp.bfloat16)
+
+    # ---- fused MLP (bf16 matmuls, f32 accum) — fused_mlp.py semantics ----
+    def lin(x, w, b):
+        return jnp.dot(x, w[:], preferred_element_type=f32) + b[:].astype(f32)
+
+    def relu_bf16(y):
+        return jnp.maximum(y, 0.0).astype(jnp.bfloat16)
+
+    h = relu_bf16(lin(enc_pos, w0, b0))
+    mid_idx = 0
+    for layer in range(1, n_layers):
+        if layer == skip_pos:
+            y = (jnp.dot(h, wskip_h[:], preferred_element_type=f32)
+                 + jnp.dot(enc_pos, wskip_e[:], preferred_element_type=f32)
+                 + bskip[:].astype(f32))
+            h = relu_bf16(y)
+        else:
+            h = relu_bf16(lin(h, w_mid[mid_idx], b_mid[mid_idx].reshape(1, -1)))
+            mid_idx += 1
+
+    sf = lin(h, w_sf, b_sf)                                # (Q, H+128) f32
+    feature = sf[:, :hidden].astype(jnp.bfloat16)
+    sigma = sf[:, hidden:hidden + 1]                       # (Q, 1) f32
+
+    color_in = jnp.concatenate([feature, ed_q], axis=-1)
+    ch = relu_bf16(lin(color_in, wc1, bc1))
+    rgb_q = jax.nn.sigmoid(lin(ch, wc2, bc2)[:, :3])       # (Q, 3) f32
+
+    # ---- σ activation + composite in the (CN, T_R) domain ----
+    if softplus_sigma:
+        sigma = jax.nn.softplus(sigma)
+    else:
+        sigma = jnp.maximum(sigma, 0.0)
+
+    # (Q,1) -> (CN,T_R): v_tr = Sᵀ @ (v ⊙ onehot)
+    def to_tr(v_q1):
+        return jnp.dot(S.T, v_q1 * onehot, preferred_element_type=f32)
+
+    sig_tr = to_tr(sigma)
+
+    sdt = jnp.clip(sig_tr * dt_tr, 0.0, 60.0)
+    one_m_alpha = jnp.exp(-sdt)
+    alpha = 1.0 - one_m_alpha
+    lg = jnp.log(one_m_alpha + 1e-10)                      # (CN, T_R)
+
+    # strict-lower-triangular matmul = exclusive cumsum along samples
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_N, CHUNK_N), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_N, CHUNK_N), 1)
+    tri = (c_i < r_i).astype(f32)                          # L[k, j] = j < k
+    excl = jnp.dot(tri, lg, preferred_element_type=f32)    # (CN, T_R)
+
+    logT0 = state[0:1, :]                                  # carried log T
+    T_tr = jnp.exp(logT0 + excl)
+    w_tr = T_tr * alpha
+    out_wt[:] = w_tr
+
+    upd = jnp.concatenate([
+        jnp.sum(lg, axis=0, keepdims=True),                      # Δ log T
+        jnp.sum(w_tr, axis=0, keepdims=True),                    # Δ Σw
+        jnp.sum(w_tr * z_tr, axis=0, keepdims=True),             # Δ Σw·z
+        jnp.sum(w_tr * to_tr(rgb_q[:, 0:1]), axis=0, keepdims=True),
+        jnp.sum(w_tr * to_tr(rgb_q[:, 1:2]), axis=0, keepdims=True),
+        jnp.sum(w_tr * to_tr(rgb_q[:, 2:3]), axis=0, keepdims=True),
+        jnp.zeros((2, TILE_R), f32),
+    ], axis=0)                                             # (8, T_R)
+    state[:] = state[:] + upd
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        acc = jnp.clip(state[1:2, :], 0.0, 1.0)
+        comp = state[3:6, :]
+        if white_bkgd:
+            comp = comp + (1.0 - acc)
+        out_ray[:] = jnp.concatenate(
+            [comp, acc, state[2:3, :],                     # Σ w·z (raw)
+             jnp.zeros((3, TILE_R), f32)], axis=0)         # (8, T_R)
+
+
+def fused_raymarch(params, cfg: NeRFConfig, rays_o, rays_d_unit, z_vals,
+                   ray_norms, enc_dir, pos_bands, *,
+                   pos_include_input: bool = True,
+                   sigma_activation: str = "relu", white_bkgd: bool = True,
+                   infinite_last_bin: bool = True, interpret: bool = False):
+    """Fused eval forward → (comp (B,3), weights (B,N), acc (B,1), depth (B,1)).
+
+    ``enc_dir`` is the per-RAY encoded view direction (B, enc_dir_dim) f32;
+    ``pos_bands`` must be CONCRETE (numpy) — callers jit above this level.
+    Matches ``nerf_forward_pass`` + ``volume_render_rays`` eval semantics.
+    """
+    B, N = z_vals.shape
+    EP_PAD, ED_PAD = _enc_pads(cfg)
+    packed = pack_nerf_params(params, cfg)
+
+    # deltas: diff, last bin, ×‖d‖ — integrator.py:49-58 semantics
+    d_fin = z_vals[:, 1:] - z_vals[:, :-1]
+    d_last = jnp.full_like(z_vals[:, :1], 1e10 if infinite_last_bin else 0.0)
+    dt = jnp.concatenate([d_fin, d_last], axis=1) * ray_norms.reshape(B, 1)
+
+    # pad rays to TILE_R, samples to CHUNK_N (dt pad = 0 → α = w = 0)
+    b_pad = (-B) % TILE_R
+    n_pad = (-N) % CHUNK_N
+    Bp, Np = B + b_pad, N + n_pad
+    z_t = _pad_to(z_vals.astype(jnp.float32), Bp, Np).T    # (Np, Bp)
+    dt_t = _pad_to(dt.astype(jnp.float32), Bp, Np).T
+
+    geom = jnp.zeros((Bp, 8), jnp.float32)
+    geom = geom.at[:B, 0:3].set(rays_o)
+    geom = geom.at[:B, 3:6].set(rays_d_unit)
+    geom = geom.at[:B, 6].set(ray_norms.reshape(B))
+    ed = _pad_to(enc_dir.astype(jnp.float32), Bp, ED_PAD)
+
+    bands = np.asarray(pos_bands, np.float32)
+    Bm, sid, ssin, scos = _encode_constants(bands, pos_include_input, EP_PAD)
+
+    n_tiles, n_chunks = Bp // TILE_R, Np // CHUNK_N
+    weights = [packed["w0"], packed["b0"], packed["w_mid"], packed["b_mid"],
+               packed["wskip_h"], packed["wskip_e"], packed["bskip"],
+               packed["w_sf"], packed["b_sf"], packed["wc1"], packed["bc1"],
+               packed["wc2"], packed["bc2"]]
+    consts = [jnp.asarray(Bm), jnp.asarray(sid), jnp.asarray(ssin),
+              jnp.asarray(scos)]
+
+    kernel = functools.partial(
+        _kernel, skip_pos=cfg.skip_pos, n_layers=cfg.n_layers,
+        hidden=cfg.hidden_dim,
+        softplus_sigma=(sigma_activation == "softplus"),
+        white_bkgd=white_bkgd, n_chunks=n_chunks)
+
+    out_ray_t, out_wt = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=(
+            [pl.BlockSpec((TILE_R, 8), lambda i, j: (i, 0)),
+             pl.BlockSpec((TILE_R, ED_PAD), lambda i, j: (i, 0)),
+             pl.BlockSpec((CHUNK_N, TILE_R), lambda i, j: (j, i)),
+             pl.BlockSpec((CHUNK_N, TILE_R), lambda i, j: (j, i))]
+            + [pl.BlockSpec(c.shape, (lambda i, j, _nd=c.ndim: (0,) * _nd))
+               for c in consts]
+            + [pl.BlockSpec(w.shape, (lambda i, j, _nd=w.ndim: (0,) * _nd))
+               for w in weights]),
+        out_specs=(
+            pl.BlockSpec((8, TILE_R), lambda i, j: (0, i)),
+            pl.BlockSpec((CHUNK_N, TILE_R), lambda i, j: (j, i))),
+        out_shape=(jax.ShapeDtypeStruct((8, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((Np, Bp), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((8, TILE_R), jnp.float32)],
+        interpret=interpret,
+    )(geom, ed, z_t, dt_t, *consts, *weights)
+
+    o = out_ray_t[:, :B]
+    comp = jnp.clip(jnp.nan_to_num(o[0:3].T, nan=0.0, posinf=1.0,
+                                   neginf=0.0), 0.0, 1.0)
+    acc = o[3:4].T
+    depth = o[4:5].T / (acc + 1e-10)
+    w = jnp.nan_to_num(out_wt[:N, :B].T, nan=0.0, posinf=0.0, neginf=0.0)
+    return comp, w, acc, depth

@@ -45,8 +45,9 @@ class EvalHyper(NamedTuple):
     pos_include_input: bool = True
     dir_include_input: bool = True
     compute_dtype: str = "bfloat16"
-    # Fused Pallas MLP for eval (inference-only; ties XLA on v5e — kept as
-    # the foundation for deeper fusion; see ops/fused_mlp.py).
+    # Fused Pallas ray-march (encode+MLP+composite in one VMEM-resident
+    # kernel, ops/fused_raymarch.py): 1.34x the XLA eval path on v5e
+    # (42 vs 56 ms per 16384x192 pass) — the default on TPU.
     use_pallas: bool = False
     pos_encoder: str = "freq"
     hash_cfg: object = None
@@ -61,6 +62,23 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
     """→ jitted ``render_tile(params_c, params_f, ro, rd, rn, vd, key)``
     returning (rgb (T,3), acc (T,1), depth (T,1)) for a fixed tile of rays."""
     plan = plan or MeshPlan(mesh=None)
+    pos_bands_np = np.asarray(pos_bands)   # concrete, for the fused kernel
+
+    def fused_fwd(params, rays_o, rays_d_unit, ray_norms, viewdirs, z):
+        """Fused Pallas ray-march (ops/fused_raymarch.py) — the fast eval
+        path; numerics-equivalent to the XLA branch below (bf16 compute)."""
+        from nerf_sandbox_tpu.core.encoding import positional_encoding
+        from nerf_sandbox_tpu.ops.fused_raymarch import fused_raymarch
+        vn = jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
+        vd = viewdirs / jnp.maximum(vn, 1e-12)
+        enc_dir = positional_encoding(vd, dir_bands,
+                                      include_input=hyper.dir_include_input)
+        return fused_raymarch(
+            params, hyper.model, rays_o, rays_d_unit, z, ray_norms, enc_dir,
+            pos_bands_np, pos_include_input=hyper.pos_include_input,
+            sigma_activation=hyper.sigma_activation,
+            white_bkgd=hyper.white_bkgd,
+            infinite_last_bin=hyper.infinite_last_bin)
 
     @jax.jit
     def render_tile(params_c, params_f, rays_o, rays_d_unit, ray_norms,
@@ -68,34 +86,6 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
         T = rays_o.shape[0]
         (rays_o, rays_d_unit, ray_norms, viewdirs) = shard_batch_constraint(
             plan, (rays_o, rays_d_unit, ray_norms, viewdirs))
-
-        if hyper.sampling_mode == "occupancy":
-            from nerf_sandbox_tpu.models.occupancy import ray_probe_weights
-            occ_grid = params_c          # grid rides in the coarse-model slot
-            probe_z, probe_w = ray_probe_weights(
-                occ_grid, hyper.occ_cfg, rays_o, rays_d_unit, ray_norms,
-                hyper.samp_near, hyper.samp_far)
-            z = jnp.sort(sample_pdf(probe_z, probe_w, hyper.nf_eval,
-                                    deterministic=True), axis=-1)
-            comp, _, acc, depth = partial(
-                nerf_forward_pass, pos_bands=pos_bands, dir_bands=dir_bands,
-                pos_include_input=hyper.pos_include_input,
-                dir_include_input=hyper.dir_include_input,
-                white_bkgd=hyper.white_bkgd, ray_norms=ray_norms,
-                viewdirs_world_unit=viewdirs,
-                sigma_activation=hyper.sigma_activation,
-                infinite_last_bin=hyper.infinite_last_bin,
-                compute_dtype=jnp.dtype(hyper.compute_dtype),
-                use_pallas=hyper.use_pallas,
-                pos_encoder=hyper.pos_encoder, hash_cfg=hyper.hash_cfg,
-            )(params_f, hyper.model, rays_o, rays_d_unit, z)
-            return comp, acc, depth
-
-        z = jnp.broadcast_to(
-            stratified_samples(hyper.samp_near, hyper.samp_far, hyper.nc_eval),
-            (T, hyper.nc_eval))
-        if hyper.perturb:
-            z = perturb_z_samples(key, z)
 
         fwd = partial(
             nerf_forward_pass, pos_bands=pos_bands, dir_bands=dir_bands,
@@ -106,11 +96,32 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
             sigma_activation=hyper.sigma_activation,
             infinite_last_bin=hyper.infinite_last_bin,
             compute_dtype=jnp.dtype(hyper.compute_dtype),
-            use_pallas=hyper.use_pallas,
             pos_encoder=hyper.pos_encoder, hash_cfg=hyper.hash_cfg)
 
-        comp_c, w_c, acc_c, depth_c = fwd(params_c, hyper.model, rays_o,
-                                          rays_d_unit, z)
+        def forward(params, z):
+            if hyper.use_pallas:
+                return fused_fwd(params, rays_o, rays_d_unit, ray_norms,
+                                 viewdirs, z)
+            return fwd(params, hyper.model, rays_o, rays_d_unit, z)
+
+        if hyper.sampling_mode == "occupancy":
+            from nerf_sandbox_tpu.models.occupancy import ray_probe_weights
+            occ_grid = params_c          # grid rides in the coarse-model slot
+            probe_z, probe_w = ray_probe_weights(
+                occ_grid, hyper.occ_cfg, rays_o, rays_d_unit, ray_norms,
+                hyper.samp_near, hyper.samp_far)
+            z = jnp.sort(sample_pdf(probe_z, probe_w, hyper.nf_eval,
+                                    deterministic=True), axis=-1)
+            comp, _, acc, depth = forward(params_f, z)
+            return comp, acc, depth
+
+        z = jnp.broadcast_to(
+            stratified_samples(hyper.samp_near, hyper.samp_far, hyper.nc_eval),
+            (T, hyper.nc_eval))
+        if hyper.perturb:
+            z = perturb_z_samples(key, z)
+
+        comp_c, w_c, acc_c, depth_c = forward(params_c, z)
         if hyper.nf_eval <= 0 or params_f is None:
             return comp_c, acc_c, depth_c
 
@@ -119,8 +130,7 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
         zf = sample_pdf(bins_mid, w_bins, hyper.nf_eval, deterministic=True)
         z_all = merge_z_samples(z, zf)
 
-        comp_f, _, acc_f, depth_f = fwd(params_f, hyper.model, rays_o,
-                                        rays_d_unit, z_all)
+        comp_f, _, acc_f, depth_f = forward(params_f, z_all)
         return comp_f, acc_f, depth_f
 
     return render_tile

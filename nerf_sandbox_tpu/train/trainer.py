@@ -343,12 +343,13 @@ class Trainer:
             print(f"[diag] fine-sampling diagnostic failed: {e}")
 
     def _pallas_eval_ok(self) -> bool:
-        """Fused Pallas MLP for eval renders: only when requested, on a real
-        TPU backend, and the architecture is in the fusable family."""
+        """Fused Pallas ray-march for eval renders (default on): requires a
+        real TPU backend, a frequency encoder, and the fusable architecture
+        family (hidden%128==0, one interior skip)."""
         from nerf_sandbox_tpu.ops.fused_mlp import fusable, pallas_available
         return bool(self.cfg.use_pallas and pallas_available()
                     and fusable(self.model_cfg)
-                    and self.cfg.pos_include_input and self.cfg.dir_include_input)
+                    and self.pos_encoder == "freq")
 
     # ------------------------------------------------------------------
     # checkpoints
