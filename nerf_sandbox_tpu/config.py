@@ -185,6 +185,10 @@ class Config:
     # applies on TPU + frequency encoder + fusable arch, else falls back
     # to XLA. --use_pallas false forces the XLA path everywhere.
     use_pallas: bool = True
+    # Eval fine-ray culling: refine only this fraction of rays per tile
+    # (ranked by coarse opacity); the rest keep the coarse composite.
+    # 1.0 = reference semantics (refine every ray).
+    eval_fine_frac: float = 1.0
     profile_dir: Optional[str] = None  # jax.profiler trace output
 
     # Sampling strategy (new — NerfAcc-style acceleration, docs/ROADMAP.md)
@@ -358,6 +362,9 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--mesh_devices", type=int, default=d.mesh_devices)
     g.add_argument("--compute_dtype", choices=["bfloat16", "float32"], default=d.compute_dtype)
     g.add_argument("--use_pallas", type=str2bool, default=d.use_pallas)
+    g.add_argument("--eval_fine_frac", type=float, default=d.eval_fine_frac,
+                   help="Refine only this fraction of eval rays (by coarse "
+                        "opacity); 1.0 = refine all (reference semantics)")
     g.add_argument("--profile_dir", type=str, default=None)
 
     return p

@@ -15,7 +15,6 @@ its reference meaning as the per-tile ray count.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -49,6 +48,10 @@ class EvalHyper(NamedTuple):
     # kernel, ops/fused_raymarch.py): 1.34x the XLA eval path on v5e
     # (42 vs 56 ms per 16384x192 pass) — the default on TPU.
     use_pallas: bool = False
+    # Fine-ray culling: refine only the ceil(frac*T) rays with the highest
+    # coarse opacity; the rest keep the coarse composite (identical result
+    # for empty-background rays). 1.0 = reference semantics (refine all).
+    eval_fine_frac: float = 1.0
     pos_encoder: str = "freq"
     hash_cfg: object = None
     # "occupancy": the params_c slot of render_tile carries the occupancy
@@ -87,22 +90,24 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
         (rays_o, rays_d_unit, ray_norms, viewdirs) = shard_batch_constraint(
             plan, (rays_o, rays_d_unit, ray_norms, viewdirs))
 
-        fwd = partial(
-            nerf_forward_pass, pos_bands=pos_bands, dir_bands=dir_bands,
-            pos_include_input=hyper.pos_include_input,
-            dir_include_input=hyper.dir_include_input,
-            white_bkgd=hyper.white_bkgd, ray_norms=ray_norms,
-            viewdirs_world_unit=viewdirs,
-            sigma_activation=hyper.sigma_activation,
-            infinite_last_bin=hyper.infinite_last_bin,
-            compute_dtype=jnp.dtype(hyper.compute_dtype),
-            pos_encoder=hyper.pos_encoder, hash_cfg=hyper.hash_cfg)
+        def forward_rays(params, ro, rd, rn, vd, z):
+            if hyper.use_pallas:
+                return fused_fwd(params, ro, rd, rn, vd, z)
+            return nerf_forward_pass(
+                params, hyper.model, ro, rd, z,
+                pos_bands=pos_bands, dir_bands=dir_bands,
+                pos_include_input=hyper.pos_include_input,
+                dir_include_input=hyper.dir_include_input,
+                white_bkgd=hyper.white_bkgd, ray_norms=rn,
+                viewdirs_world_unit=vd,
+                sigma_activation=hyper.sigma_activation,
+                infinite_last_bin=hyper.infinite_last_bin,
+                compute_dtype=jnp.dtype(hyper.compute_dtype),
+                pos_encoder=hyper.pos_encoder, hash_cfg=hyper.hash_cfg)
 
         def forward(params, z):
-            if hyper.use_pallas:
-                return fused_fwd(params, rays_o, rays_d_unit, ray_norms,
-                                 viewdirs, z)
-            return fwd(params, hyper.model, rays_o, rays_d_unit, z)
+            return forward_rays(params, rays_o, rays_d_unit, ray_norms,
+                                viewdirs, z)
 
         if hyper.sampling_mode == "occupancy":
             from nerf_sandbox_tpu.models.occupancy import ray_probe_weights
@@ -124,6 +129,31 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
         comp_c, w_c, acc_c, depth_c = forward(params_c, z)
         if hyper.nf_eval <= 0 or params_f is None:
             return comp_c, acc_c, depth_c
+
+        frac = float(hyper.eval_fine_frac)
+        if 0.0 < frac < 1.0:
+            # Fine-ray culling: refine only the K rays with the highest
+            # coarse opacity. Row gathers/scatters of whole rays are cheap
+            # on TPU (contiguous DMA, measured ~0.01 ms at (32k,128)) —
+            # unlike the per-sample axis-1 gathers sample_pdf avoids.
+            K = max(1, -(-int(T * frac) // 8) * 8)
+            order = jnp.argsort(-acc_c[:, 0])
+            top = order[:K]
+            ro_s, rd_s = rays_o[top], rays_d_unit[top]
+            rn_s, vd_s = ray_norms[top], viewdirs[top]
+            z_s, w_s = z[top], w_c[top]
+
+            bins_mid = 0.5 * (z_s[:, 1:] + z_s[:, :-1])
+            w_bins = 0.5 * (w_s[:, 1:] + w_s[:, :-1]) + 1e-5
+            zf = sample_pdf(bins_mid, w_bins, hyper.nf_eval,
+                            deterministic=True)
+            z_all = merge_z_samples(z_s, zf)
+            comp_s, _, acc_s, depth_s = forward_rays(params_f, ro_s, rd_s,
+                                                     rn_s, vd_s, z_all)
+            comp_f = comp_c.at[top].set(comp_s)
+            acc_f = acc_c.at[top].set(acc_s)
+            depth_f = depth_c.at[top].set(depth_s)
+            return comp_f, acc_f, depth_f
 
         bins_mid = 0.5 * (z[:, 1:] + z[:, :-1])
         w_bins = 0.5 * (w_c[:, 1:] + w_c[:, :-1]) + 1e-5

@@ -240,6 +240,7 @@ class Trainer:
             dir_include_input=cfg.dir_include_input,
             compute_dtype=str(cfg.compute_dtype),
             use_pallas=self._pallas_eval_ok(),
+            eval_fine_frac=float(getattr(cfg, "eval_fine_frac", 1.0)),
             pos_encoder=self.pos_encoder, hash_cfg=self.hash_cfg,
             sampling_mode=self.sampling_mode, occ_cfg=self.occ_cfg)
         self.render_tile = make_tile_renderer(

@@ -118,3 +118,60 @@ def test_llff_spiral_from_poses_bounds(tmp_path):
     zposes, _, _, _ = generate_path_poses(scene, 20, path_type="llff_zflat",
                                           data_root=root)
     assert len(zposes) == 20
+
+
+def test_eval_fine_frac_culling():
+    """--eval_fine_frac contract: the top-K rays by coarse opacity match the
+    full eval exactly; the culled rest keep the coarse composite."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig, init_nerf_params
+    from nerf_sandbox_tpu.render.renderer import EvalHyper, make_tile_renderer
+
+    model = NeRFConfig(63, 27, n_layers=2, hidden_dim=32, skip_pos=1)
+    pos_b, dir_b = vanilla_encoders()
+    # softplus sigma at moderate scale: smooth, diverse per-ray opacities
+    # (relu + random init saturates half the rays to acc == 1.0, creating
+    # tie groups that make the top-K cut ambiguous)
+    pc = init_nerf_params(jax.random.PRNGKey(0), model)
+    pf = init_nerf_params(jax.random.PRNGKey(1), model)
+    for p in (pc, pf):
+        p["sigma_out"]["w"] = p["sigma_out"]["w"] * 0.5
+        p["sigma_out"]["b"] = p["sigma_out"]["b"] - 1.0
+
+    T = 64
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    o = jax.random.uniform(k1, (T, 3), minval=-0.5, maxval=0.5)
+    d = jax.random.normal(k2, (T, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rn = jnp.ones((T, 1))
+    key = jax.random.PRNGKey(3)
+
+    def run(**kw):
+        hyp = EvalHyper(model=model, nc_eval=8, nf_eval=kw.pop("nf", 8),
+                        samp_near=2.0, samp_far=6.0,
+                        sigma_activation="softplus",
+                        infinite_last_bin=False,   # else softplus>0 + the
+                        # 1e10 last bin saturates every ray to acc == 1.0
+                        compute_dtype="float32", **kw)
+        tile = make_tile_renderer(hyp, jnp.asarray(pos_b), jnp.asarray(dir_b))
+        return tile(pc, pf, o, d, rn, d, key)
+
+    full = run()
+    frac = run(eval_fine_frac=0.5)
+    coarse = run(nf=0)
+
+    acc_c = np.asarray(coarse[1][:, 0])
+    # rays tied with the K-th opacity value may land on either side of the
+    # cut (sort tie-breaking) — exclude the whole tie group from the check
+    kth = np.sort(acc_c)[::-1][31]                 # K = 0.5 * 64
+    top = np.where(acc_c > kth)[0]
+    rest = np.where(acc_c < kth)[0]
+    assert len(top) >= 8 and len(rest) >= 8
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(frac[i])[top],
+                                   np.asarray(full[i])[top], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(frac[i])[rest],
+                                   np.asarray(coarse[i])[rest], atol=1e-6)
