@@ -189,6 +189,13 @@ class Config:
     # (ranked by coarse opacity); the rest keep the coarse composite.
     # 1.0 = reference semantics (refine every ray).
     eval_fine_frac: float = 1.0
+    # Async validation: run scheduled validation renders + PNG/TB writes on
+    # a worker thread against a params snapshot (free — JAX arrays are
+    # immutable) so the train loop keeps dispatching steps. Bounded queue
+    # (2 events) degrades to the reference's blocking behavior if renders
+    # can't keep up. Replaces the reference's blocking validation block
+    # (trainer.py:790-831).
+    async_val: bool = True
     profile_dir: Optional[str] = None  # jax.profiler trace output
 
     # Sampling strategy (new — NerfAcc-style acceleration, docs/ROADMAP.md)
@@ -365,6 +372,9 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--eval_fine_frac", type=float, default=d.eval_fine_frac,
                    help="Refine only this fraction of eval rays (by coarse "
                         "opacity); 1.0 = refine all (reference semantics)")
+    g.add_argument("--async_val", type=str2bool, default=d.async_val,
+                   help="Run validation renders/PNG writes on a worker "
+                        "thread (params snapshot) so training never stalls")
     g.add_argument("--profile_dir", type=str, default=None)
 
     return p

@@ -442,9 +442,15 @@ class Trainer:
         self.occ_grid = self.occ_update(jnp.zeros_like(self.occ_grid),
                                         self.state.params_f, key)
 
-    def _run_validation(self, step: int) -> None:
+    # ------------------------------------------------------------------
+    # validation (sync body + async worker)
+    # ------------------------------------------------------------------
+
+    def _run_validation(self, step: int, pc, pf) -> None:
+        """Render + write validation artifacts for ``step`` using the given
+        params (snapshot — JAX arrays are immutable, so capturing the
+        references at the scheduled step IS an exact snapshot)."""
         t0 = time.perf_counter()
-        pc, pf = self.eval_params()
         _, metrics = self.valr.render_indices_at_step(
             step, self.val_frame_indices, pc, pf, use_mask="auto",
             res_scale=float(self.cfg.val_res_scale),
@@ -453,13 +459,64 @@ class Trainer:
             print(f"[VAL] step={step} mean PSNR={metrics['psnr_mean']:.2f} dB "
                   f"over {len(self.val_frame_indices)} frame(s)")
         if self.cfg.progress_video_during_training:
-            start, count = self.valr.render_progress_block(*self.eval_params())
+            start, count = self.valr.render_progress_block(pc, pf)
             if count > 0:
                 print(f"[PROGRESS] wrote progress frames [{start}..{start+count-1}]")
         dur = time.perf_counter() - t0
         self._val_event_durations.append(dur)
         recent = self._val_event_durations[-10:]
         self._val_avg_seconds = sum(recent) / max(1, len(recent))
+
+    def _val_worker(self) -> None:
+        while True:
+            job = self._val_queue.get()
+            try:
+                if job is None:
+                    return
+                step, pc, pf = job
+                try:
+                    self._run_validation(step, pc, pf)
+                except Exception as e:
+                    print(f"[VAL] async validation at step {step} failed: {e}")
+            finally:
+                self._val_queue.task_done()
+
+    def _start_async_val(self) -> None:
+        import queue
+        import threading
+        self._val_queue = queue.Queue(maxsize=2)
+        self._val_thread = threading.Thread(
+            target=self._val_worker, name="async-val", daemon=True)
+        self._val_thread.start()
+
+    def _dispatch_validation(self, step: int) -> None:
+        pc, pf = self.eval_params()
+        if getattr(self, "_val_thread", None) is not None:
+            # The train step donates the state buffers, so holding the raw
+            # references is NOT a snapshot — the next dispatch deletes them.
+            # jnp.copy is a device-side copy dispatched asynchronously
+            # (~5 MB for the vanilla params; never blocks the host).
+            pc, pf = jax.tree.map(jnp.copy, (pc, pf))
+            # Blocks only when 2 events are already in flight (backpressure
+            # = the reference's blocking behavior, never unbounded memory).
+            self._val_queue.put((step, pc, pf))
+        else:
+            self._run_validation(step, pc, pf)
+
+    def _stop_async_val(self, discard_pending: bool = False) -> None:
+        if getattr(self, "_val_thread", None) is None:
+            return
+        if discard_pending:
+            import queue
+            try:
+                while True:
+                    self._val_queue.get_nowait()
+                    self._val_queue.task_done()
+            except queue.Empty:
+                pass
+        self._val_queue.put(None)
+        self._val_thread.join()
+        self._val_thread = None
 
     def train(self) -> None:
         cfg = self.cfg
@@ -515,6 +572,12 @@ class Trainer:
         if occupancy and start_step > 1:
             # rebuild the (non-checkpointed) grid from the restored model
             self._rebuild_occupancy(start_step - 1)
+
+        self._val_thread = None
+        if cfg.async_val and self.val_steps:
+            self._start_async_val()
+            print("[VAL] async validation worker started "
+                  "(--async_val false to disable)")
 
         def _next_boundary(s: int) -> int:
             """Smallest step >= s at which a host action must run."""
@@ -607,7 +670,7 @@ class Trainer:
             # scheduled validation
             if (self._val_next_idx < len(self.val_steps)
                     and step == self.val_steps[self._val_next_idx]):
-                self._run_validation(step)
+                self._dispatch_validation(step)
                 self._val_next_idx += 1
                 if self._val_next_idx < len(self.val_steps):
                     print(f"[VAL] next validation at step "
@@ -623,10 +686,16 @@ class Trainer:
             jax.profiler.stop_trace()
 
         if interrupted:
+            # SIGINT semantics: quick exit — abandon queued validations,
+            # finish the one in flight (reference skips exports too).
+            self._stop_async_val(discard_pending=True)
             if getattr(self, "_orbax_mgr", None) is not None:
                 self._orbax_mgr.mgr.wait_until_finished()
             self.tb_logger.close()
             return
+
+        # drain pending validations before the video exports read the PNGs
+        self._stop_async_val()
 
         # ---- post-training exports (trainer.py:842-872) ----
         try:

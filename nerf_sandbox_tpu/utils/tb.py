@@ -11,6 +11,7 @@ Inputs are numpy/JAX arrays (host side); device arrays are pulled once here.
 
 from __future__ import annotations
 
+import threading
 from typing import Optional
 
 import numpy as np
@@ -24,6 +25,9 @@ class TensorBoardLogger:
         self.image_max_side = int(image_max_side)
         self.writer = None
         self._failed = False
+        # Lazy init may race between the train loop (scalars) and the async
+        # validation worker (images) — guard creation with a lock.
+        self._init_lock = threading.Lock()
 
     # ---------- internals ----------
 
@@ -31,13 +35,16 @@ class TensorBoardLogger:
         if not self.enabled or self._failed:
             return self.writer is not None
         if self.writer is None:
-            try:
-                from torch.utils.tensorboard import SummaryWriter
-                self.writer = SummaryWriter(log_dir=self.logdir)
-            except Exception as e:   # missing package → degrade silently
-                print(f"[TB] disabled ({e})")
-                self._failed = True
-                return False
+            with self._init_lock:
+                if self.writer is not None or self._failed:
+                    return self.writer is not None
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+                    self.writer = SummaryWriter(log_dir=self.logdir)
+                except Exception as e:   # missing package → degrade silently
+                    print(f"[TB] disabled ({e})")
+                    self._failed = True
+                    return False
         return True
 
     @staticmethod
