@@ -208,13 +208,21 @@ class Config:
     occ_explore_frac: float = 0.02
 
     # Encoder family (new — BASELINE config #5 stretch)
-    encoder: str = "positional"        # positional | hashgrid
+    # positional = reference parity; hashgrid = Instant-NGP tables
+    # (functional, HBM-gather-bound on TPU — measured in RESULTS.md);
+    # kplanes = factorized planes+lines, the TPU-fast family (pure MXU).
+    encoder: str = "positional"        # positional | hashgrid | kplanes
     hash_levels: int = 16
     hash_features: int = 2
     hash_log2_size: int = 19
     hash_base_res: int = 16
     hash_max_res: int = 512
     hash_aabb_scale: float = 1.5
+    kp_plane_res: str = "64,128"       # comma-separated plane resolutions
+    kp_plane_features: int = 8
+    kp_line_res: int = 512
+    kp_line_features: int = 16
+    kp_aabb_scale: float = 1.5
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -352,13 +360,20 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--occ_explore_frac", type=float, default=d.occ_explore_frac)
 
     g = p.add_argument_group("encoder family")
-    g.add_argument("--encoder", choices=["positional", "hashgrid"], default=d.encoder)
+    g.add_argument("--encoder", choices=["positional", "hashgrid", "kplanes"],
+                   default=d.encoder)
     g.add_argument("--hash_levels", type=int, default=d.hash_levels)
     g.add_argument("--hash_features", type=int, default=d.hash_features)
     g.add_argument("--hash_log2_size", type=int, default=d.hash_log2_size)
     g.add_argument("--hash_base_res", type=int, default=d.hash_base_res)
     g.add_argument("--hash_max_res", type=int, default=d.hash_max_res)
     g.add_argument("--hash_aabb_scale", type=float, default=d.hash_aabb_scale)
+    g.add_argument("--kp_plane_res", type=str, default=d.kp_plane_res,
+                   help="kplanes: comma-separated multiscale plane resolutions")
+    g.add_argument("--kp_plane_features", type=int, default=d.kp_plane_features)
+    g.add_argument("--kp_line_res", type=int, default=d.kp_line_res)
+    g.add_argument("--kp_line_features", type=int, default=d.kp_line_features)
+    g.add_argument("--kp_aabb_scale", type=float, default=d.kp_aabb_scale)
 
     g = p.add_argument_group("tpu")
     g.add_argument("--scan_steps", type=int, default=d.scan_steps,

@@ -49,8 +49,8 @@ def nerf_forward_pass(
     infinite_last_bin: bool = False,
     compute_dtype=jnp.float32,
     use_pallas: bool = False,
-    pos_encoder: str = "freq",       # "freq" | "hashgrid"
-    hash_cfg=None,                   # HashGridConfig when pos_encoder=="hashgrid"
+    pos_encoder: str = "freq",       # "freq" | "hashgrid" | "kplanes"
+    enc_cfg=None,                    # HashGridConfig | KPlanesConfig
 ):
     """Returns (composite_rgb (B,3), weights (B,N), acc (B,1), depth (B,1))."""
     B, N = z_vals.shape
@@ -72,7 +72,11 @@ def nerf_forward_pass(
     # run the MLP in compute_dtype (bf16 on TPU = the AMP-equivalent mode).
     if pos_encoder == "hashgrid":
         from nerf_sandbox_tpu.models.hashgrid import hash_encode
-        enc_pos = hash_encode(params["pos_grid"], pts.reshape(-1, 3), hash_cfg)
+        enc_pos = hash_encode(params["pos_grid"], pts.reshape(-1, 3), enc_cfg)
+    elif pos_encoder == "kplanes":
+        from nerf_sandbox_tpu.models.kplanes import kplanes_encode
+        enc_pos = kplanes_encode(params["pos_grid"], pts.reshape(-1, 3),
+                                 enc_cfg, compute_dtype=compute_dtype)
     else:
         enc_pos = positional_encoding(pts.reshape(-1, 3), pos_bands,
                                       include_input=pos_include_input)

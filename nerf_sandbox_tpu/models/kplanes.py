@@ -1,0 +1,134 @@
+"""K-Planes-style factorized position encoder — the TPU-native fast family.
+
+Role parity: the reference has no fast-encoder family (its encoder is the
+frequency encoder, ``nerf_sandbox/source/models/encoders.py:6-106``); this
+fills the Instant-NGP slot of BASELINE config #5 with an encoder that is
+actually fast on TPU.
+
+Why not a hash grid on TPU (measured, v5e, RESULTS.md):
+
+* random HBM row gathers run at ~116-214M rows/s regardless of row width
+  (latency-bound) → 10-44 ms per 98k-sample forward;
+* the scatter-add backward is 123 ms (segment_sum) to 745 ms (raw
+  ``at[].add``) per step — table training is SparseCore-shaped work that
+  XLA on v5e cannot express efficiently;
+* Pallas offers no escape: Mosaic's ``tpu.dynamic_gather`` only gathers
+  within one vreg (8 sublanes), so VMEM-resident tables are not indexable.
+
+A factorized grid avoids indexed memory entirely. Each scale holds three
+feature planes (xy, xz, yz); a sample's feature is the Hadamard product of
+its three bilinear plane interpolations (multiplicative combine localizes
+like k-planes; Fridovich-Keil et al. 2023). Bilinear interpolation is
+expressed as two one-hot matmul contractions per plane:
+
+    f[q, :] = Wu[q, :] @ P @ Wv[q, :]^T     (per feature channel)
+
+where ``Wu/Wv`` are (Q, R) matrices with two adjacent non-zeros
+(1-frac, frac). These contract on the MXU in bf16, the intermediate stays
+chunk-local, and the backward is two transposed matmuls — no gather or
+scatter anywhere. A CP triple of 1-D lines at high resolution
+(``line_res``) adds fine axis-aligned detail for negligible FLOPs.
+
+Params live in the model pytree as ``params["pos_grid"]`` exactly like the
+hash tables, so the train step, checkpointing, occupancy sampling and mesh
+sharding work unchanged (``--encoder kplanes`` on the CLI).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class KPlanesConfig(NamedTuple):
+    plane_res: tuple = (64, 128)    # multiscale plane resolutions
+    plane_features: int = 8         # F per scale
+    line_res: int = 512             # CP line resolution (fine detail)
+    line_features: int = 16         # CP components
+    aabb_scale: float = 1.5         # world coords in [-aabb_scale, aabb_scale]^3
+    chunk: int = 32768              # internal Q-chunk (bounds the (Q,R,F)
+                                    # intermediate to chunk*R*F elements)
+
+    @property
+    def out_dim(self) -> int:
+        return len(self.plane_res) * self.plane_features + self.line_features
+
+
+def init_kplanes_params(key: jax.Array, cfg: KPlanesConfig) -> dict:
+    """Plane/line features ~ N(1, 0.1): products start near 1 with healthy
+    gradients to every factor (multiplicative combine)."""
+    n_scales = len(cfg.plane_res)
+    keys = jax.random.split(key, 3 * n_scales + 3)
+    params: dict = {}
+    ki = 0
+    for s, R in enumerate(cfg.plane_res):
+        for name in ("xy", "xz", "yz"):
+            params[f"plane{s}_{name}"] = 1.0 + 0.1 * jax.random.normal(
+                keys[ki], (R, R, cfg.plane_features), jnp.float32)
+            ki += 1
+    for name in ("x", "y", "z"):
+        params[f"line_{name}"] = 1.0 + 0.1 * jax.random.normal(
+            keys[ki], (cfg.line_res, cfg.line_features), jnp.float32)
+        ki += 1
+    return params
+
+
+def _interp_weights(u01: jnp.ndarray, R: int) -> jnp.ndarray:
+    """(Q,) coords in [0,1] → (Q, R) linear-interp weight rows
+    (two adjacent non-zeros: 1-frac at u0, frac at u0+1)."""
+    u = u01 * (R - 1)
+    u0 = jnp.clip(jnp.floor(u), 0, R - 2)
+    frac = (u - u0)[:, None]
+    i0 = u0.astype(jnp.int32)
+    oh0 = jax.nn.one_hot(i0, R, dtype=u01.dtype)
+    oh1 = jax.nn.one_hot(i0 + 1, R, dtype=u01.dtype)
+    return oh0 * (1.0 - frac) + oh1 * frac
+
+
+def _encode_chunk(params: dict, x01: jnp.ndarray, cfg: KPlanesConfig,
+                  compute_dtype) -> jnp.ndarray:
+    """(Qc, 3) normalized coords → (Qc, out_dim)."""
+    feats = []
+    for s, R in enumerate(cfg.plane_res):
+        W = [_interp_weights(x01[:, d], R).astype(compute_dtype)
+             for d in range(3)]                                   # 3 x (Qc, R)
+        prod = None
+        for name, (da, db) in (("xy", (0, 1)), ("xz", (0, 2)), ("yz", (1, 2))):
+            P = params[f"plane{s}_{name}"].astype(compute_dtype)  # (R, R, F)
+            # (Qc,R)@(R,R*F) → (Qc,R,F); then per-point row contraction
+            A = (W[da] @ P.reshape(R, -1)).reshape(
+                -1, R, cfg.plane_features)
+            f = jnp.einsum("qj,qjf->qf", W[db], A)                # (Qc, F)
+            prod = f if prod is None else prod * f
+        feats.append(prod)
+    # CP lines: product of three 1-D interpolations at high resolution
+    lw = [_interp_weights(x01[:, d], cfg.line_res).astype(compute_dtype)
+          for d in range(3)]
+    line = (lw[0] @ params["line_x"].astype(compute_dtype)) * \
+           (lw[1] @ params["line_y"].astype(compute_dtype)) * \
+           (lw[2] @ params["line_z"].astype(compute_dtype))       # (Qc, Fl)
+    feats.append(line)
+    return jnp.concatenate(feats, axis=-1).astype(jnp.float32)
+
+
+def kplanes_encode(params: dict, pts_world: jnp.ndarray,
+                   cfg: KPlanesConfig,
+                   compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Encode world points (Q, 3) → (Q, out_dim).
+
+    Chunked over Q (lax.map) so the (chunk, R, F) matmul intermediate stays
+    small enough to fuse/fit; differentiates cleanly (backward is the
+    transposed matmul chain, still chunked).
+    """
+    Q = pts_world.shape[0]
+    x01 = jnp.clip(pts_world / (2.0 * cfg.aabb_scale) + 0.5, 0.0, 1.0)
+    if Q <= cfg.chunk:
+        return _encode_chunk(params, x01, cfg, compute_dtype)
+    n_chunks = -(-Q // cfg.chunk)
+    pad = n_chunks * cfg.chunk - Q
+    xp = jnp.pad(x01, ((0, pad), (0, 0))).reshape(n_chunks, cfg.chunk, 3)
+    out = jax.lax.map(
+        lambda xc: _encode_chunk(params, xc, cfg, compute_dtype), xp)
+    return out.reshape(n_chunks * cfg.chunk, cfg.out_dim)[:Q]

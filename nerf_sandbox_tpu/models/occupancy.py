@@ -101,7 +101,7 @@ def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig
                            *, sigma_activation: str = "relu",
                            pos_include_input: bool = True,
                            dir_include_input: bool = True,
-                           pos_encoder: str = "freq", hash_cfg=None,
+                           pos_encoder: str = "freq", enc_cfg=None,
                            chunk: int = 65536):
     """→ jitted ``update(grid, params, key) -> grid``.
 
@@ -132,7 +132,10 @@ def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig
         def density(pts_chunk):
             if pos_encoder == "hashgrid":
                 from nerf_sandbox_tpu.models.hashgrid import hash_encode
-                enc_pos = hash_encode(params["pos_grid"], pts_chunk, hash_cfg)
+                enc_pos = hash_encode(params["pos_grid"], pts_chunk, enc_cfg)
+            elif pos_encoder == "kplanes":
+                from nerf_sandbox_tpu.models.kplanes import kplanes_encode
+                enc_pos = kplanes_encode(params["pos_grid"], pts_chunk, enc_cfg)
             else:
                 enc_pos = positional_encoding(pts_chunk, pos_bands,
                                               include_input=pos_include_input)

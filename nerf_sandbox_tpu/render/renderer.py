@@ -53,7 +53,7 @@ class EvalHyper(NamedTuple):
     # for empty-background rays). 1.0 = reference semantics (refine all).
     eval_fine_frac: float = 1.0
     pos_encoder: str = "freq"
-    hash_cfg: object = None
+    enc_cfg: object = None
     # "occupancy": the params_c slot of render_tile carries the occupancy
     # GRID; all nf_eval samples are placed from it (one model eval per ray).
     sampling_mode: str = "hierarchical"
@@ -103,7 +103,7 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
                 sigma_activation=hyper.sigma_activation,
                 infinite_last_bin=hyper.infinite_last_bin,
                 compute_dtype=jnp.dtype(hyper.compute_dtype),
-                pos_encoder=hyper.pos_encoder, hash_cfg=hyper.hash_cfg)
+                pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg)
 
         def forward(params, z):
             return forward_rays(params, rays_o, rays_d_unit, ray_norms,

@@ -52,8 +52,8 @@ class TrainHyper(NamedTuple):
     pos_include_input: bool = True
     dir_include_input: bool = True
     compute_dtype: str = "bfloat16"   # MLP matmul dtype (AMP-equivalent)
-    pos_encoder: str = "freq"         # "freq" | "hashgrid"
-    hash_cfg: Any = None              # HashGridConfig (hashable NamedTuple)
+    pos_encoder: str = "freq"         # "freq" | "hashgrid" | "kplanes"
+    enc_cfg: Any = None               # HashGridConfig | KPlanesConfig
     sampling_mode: str = "hierarchical"   # "hierarchical" | "occupancy"
     occ_cfg: Any = None               # OccupancyConfig (hashable NamedTuple)
 
@@ -110,8 +110,12 @@ def init_train_state(key: jax.Array, hyper: TrainHyper, tx, *,
                                 sigma_activation=hyper.sigma_activation)
     if hyper.pos_encoder == "hashgrid":
         from nerf_sandbox_tpu.models.hashgrid import init_hash_tables
-        params_c["pos_grid"] = init_hash_tables(kgc, hyper.hash_cfg)
-        params_f["pos_grid"] = init_hash_tables(kgf, hyper.hash_cfg)
+        params_c["pos_grid"] = init_hash_tables(kgc, hyper.enc_cfg)
+        params_f["pos_grid"] = init_hash_tables(kgf, hyper.enc_cfg)
+    elif hyper.pos_encoder == "kplanes":
+        from nerf_sandbox_tpu.models.kplanes import init_kplanes_params
+        params_c["pos_grid"] = init_kplanes_params(kgc, hyper.enc_cfg)
+        params_f["pos_grid"] = init_kplanes_params(kgf, hyper.enc_cfg)
     if hyper.sampling_mode == "occupancy":
         # no coarse model in occupancy mode: the grid rides in the coarse
         # slot at eval time; an empty pytree avoids dead params/opt-state/
@@ -153,7 +157,7 @@ def _occupancy_loss(params_f, occ_grid, batch, key, hyper: TrainHyper,
         raw_noise_std=hyper.raw_noise_std, noise_key=k_noise,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
-        pos_encoder=hyper.pos_encoder, hash_cfg=hyper.hash_cfg)
+        pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg)
 
     target = jnp.clip(jnp.nan_to_num(batch["rgb"]), 0.0, 1.0)
     loss_f = jnp.mean((comp_f - target) ** 2)
@@ -180,7 +184,7 @@ def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
         raw_noise_std=hyper.raw_noise_std,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
-        pos_encoder=hyper.pos_encoder, hash_cfg=hyper.hash_cfg)
+        pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg)
 
     comp_c, w_c, _, _ = fwd(params_c, hyper.model, batch["rays_o_marching"],
                             batch["rays_d_marching_unit"], zc,

@@ -130,15 +130,25 @@ class Trainer:
         # ---- encoders / model config ----
         self.pos_bands = jnp.asarray(make_frequency_bands(cfg.pos_num_freqs))
         self.dir_bands = jnp.asarray(make_frequency_bands(cfg.dir_num_freqs))
-        self.pos_encoder = "hashgrid" if cfg.encoder == "hashgrid" else "freq"
-        self.hash_cfg = None
+        self.pos_encoder = (cfg.encoder if cfg.encoder in ("hashgrid", "kplanes")
+                            else "freq")
+        self.enc_cfg = None
         if self.pos_encoder == "hashgrid":
             from nerf_sandbox_tpu.models.hashgrid import HashGridConfig
-            self.hash_cfg = HashGridConfig(
+            self.enc_cfg = HashGridConfig(
                 n_levels=cfg.hash_levels, n_features=cfg.hash_features,
                 log2_table_size=cfg.hash_log2_size, base_res=cfg.hash_base_res,
                 max_res=cfg.hash_max_res, aabb_scale=cfg.hash_aabb_scale)
-            enc_pos_dim = self.hash_cfg.out_dim
+            enc_pos_dim = self.enc_cfg.out_dim
+        elif self.pos_encoder == "kplanes":
+            from nerf_sandbox_tpu.models.kplanes import KPlanesConfig
+            self.enc_cfg = KPlanesConfig(
+                plane_res=tuple(int(r) for r in
+                                str(cfg.kp_plane_res).split(",") if r),
+                plane_features=cfg.kp_plane_features,
+                line_res=cfg.kp_line_res, line_features=cfg.kp_line_features,
+                aabb_scale=cfg.kp_aabb_scale)
+            enc_pos_dim = self.enc_cfg.out_dim
         else:
             enc_pos_dim = encoder_out_dim(3, cfg.pos_num_freqs,
                                           cfg.pos_include_input)
@@ -196,7 +206,7 @@ class Trainer:
             pos_include_input=cfg.pos_include_input,
             dir_include_input=cfg.dir_include_input,
             compute_dtype=str(cfg.compute_dtype),
-            pos_encoder=self.pos_encoder, hash_cfg=self.hash_cfg,
+            pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
             sampling_mode=self.sampling_mode, occ_cfg=self.occ_cfg)
 
         sched_params = dict(cfg.lr_scheduler_params or {})
@@ -228,7 +238,7 @@ class Trainer:
                 sigma_activation=cfg.sigma_activation,
                 pos_include_input=cfg.pos_include_input,
                 dir_include_input=cfg.dir_include_input,
-                pos_encoder=self.pos_encoder, hash_cfg=self.hash_cfg)
+                pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg)
 
         # ---- eval renderer ----
         self.eval_hyper = EvalHyper(
@@ -241,7 +251,7 @@ class Trainer:
             compute_dtype=str(cfg.compute_dtype),
             use_pallas=self._pallas_eval_ok(),
             eval_fine_frac=float(getattr(cfg, "eval_fine_frac", 1.0)),
-            pos_encoder=self.pos_encoder, hash_cfg=self.hash_cfg,
+            pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
             sampling_mode=self.sampling_mode, occ_cfg=self.occ_cfg)
         self.render_tile = make_tile_renderer(
             self.eval_hyper, self.pos_bands, self.dir_bands, plan=self.plan)
@@ -264,6 +274,17 @@ class Trainer:
         else:
             self.val_frame_indices = [0]
 
+        eval_chunk = int(cfg.eval_chunk)
+        if self.sampling_mode == "occupancy" and self.pos_encoder == "kplanes":
+            # libtpu regalloc RET_CHECK (live_range_finder.cc:29) at
+            # tile*nf >= 2^21 points in this branch (measured; same internal
+            # compiler bug family as the B=4096 train step, CLAUDE.md) —
+            # clamp the tile so the eval program stays under it.
+            max_tile = max(1024, (1 << 20) // max(1, int(cfg.nf)))
+            if eval_chunk > max_tile:
+                print(f"[cfg] note: eval_chunk {eval_chunk} -> {max_tile} "
+                      "(occupancy+kplanes eval-tile compiler-bug workaround)")
+                eval_chunk = max_tile
         self.valr = ValidationRenderer(
             scene_val=self.scene_val, out_dir=self.out_dir / "validation",
             render_tile=self.render_tile, cfg=cfg,
@@ -271,7 +292,7 @@ class Trainer:
             use_ndc=self.use_ndc,
             ndc_near_plane_world=self.ndc_near_plane_world,
             convention=self.camera_convention, tb_logger=self.tb_logger,
-            eval_chunk=int(cfg.eval_chunk),
+            eval_chunk=eval_chunk,
             cancel_flag_getter=lambda: self.signals.cancel_render)
 
         self.val_steps = build_validation_steps(
@@ -332,7 +353,7 @@ class Trainer:
                 viewdirs_world_unit=batch["rays_d_world_unit"],
                 sigma_activation=self.cfg.sigma_activation,
                 infinite_last_bin=bool(self.cfg.infinite_last_bin),
-                pos_encoder=self.pos_encoder, hash_cfg=self.hash_cfg)
+                pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg)
             bins_mid = 0.5 * (z[:, 1:] + z[:, :-1])
             w_bins = 0.5 * (w_c[:, 1:] + w_c[:, :-1]) + 1e-5
             zf = sample_pdf(bins_mid, w_bins, self.cfg.nf, deterministic=True)
@@ -477,6 +498,7 @@ class Trainer:
                 try:
                     self._run_validation(step, pc, pf)
                 except Exception as e:
+                    self._val_failures.append(step)
                     print(f"[VAL] async validation at step {step} failed: {e}")
             finally:
                 self._val_queue.task_done()
@@ -484,6 +506,7 @@ class Trainer:
     def _start_async_val(self) -> None:
         import queue
         import threading
+        self._val_failures: list[int] = []
         self._val_queue = queue.Queue(maxsize=2)
         self._val_thread = threading.Thread(
             target=self._val_worker, name="async-val", daemon=True)
@@ -517,6 +540,10 @@ class Trainer:
         self._val_queue.put(None)
         self._val_thread.join()
         self._val_thread = None
+        if self._val_failures:
+            print(f"[VAL] WARNING: {len(self._val_failures)} async validation "
+                  f"event(s) FAILED (steps {self._val_failures}); their "
+                  "artifacts are missing.")
 
     def train(self) -> None:
         cfg = self.cfg

@@ -85,7 +85,7 @@ def test_train_step_with_hashgrid_learns():
     model = NeRFConfig(enc_pos_dim=hcfg.out_dim, enc_dir_dim=27, n_layers=2,
                        hidden_dim=64, skip_pos=1)
     hyper = TrainHyper(model=model, nc=8, nf=8, samp_near=2.0, samp_far=6.0,
-                       pos_encoder="hashgrid", hash_cfg=hcfg)
+                       pos_encoder="hashgrid", enc_cfg=hcfg)
     spec = RayBatchSpec(rays_per_batch=64, image_h=16, image_w=16)
     tx = make_optimizer(5e-3, "none", {})
     state = init_train_state(jax.random.PRNGKey(0), hyper, tx, near=2.0, far=6.0)
