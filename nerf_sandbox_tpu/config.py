@@ -190,12 +190,16 @@ class Config:
     # 1.0 = reference semantics (refine every ray).
     eval_fine_frac: float = 1.0
     # Async validation: run scheduled validation renders + PNG/TB writes on
-    # a worker thread against a params snapshot (free — JAX arrays are
-    # immutable) so the train loop keeps dispatching steps. Bounded queue
-    # (2 events) degrades to the reference's blocking behavior if renders
-    # can't keep up. Replaces the reference's blocking validation block
-    # (trainer.py:790-831).
-    async_val: bool = True
+    # a worker thread against a params snapshot so the train loop keeps
+    # dispatching steps; artifacts are bit-identical to the sync path
+    # (tests/test_async_val.py). Bounded queue (2 events) degrades to the
+    # reference's blocking behavior (trainer.py:790-831) under backpressure.
+    # Default OFF: measured on this 1-core/1-chip container a validation
+    # event is ~1.6 s of which ~90% is DEVICE render time, so there is
+    # nothing to overlap on one chip and GIL contention makes the 3k-step
+    # 20-event run 5-7% SLOWER (RESULTS.md). Turn on for multi-core hosts
+    # where PNG/TB host work is the validation bottleneck.
+    async_val: bool = False
     profile_dir: Optional[str] = None  # jax.profiler trace output
 
     # Sampling strategy (new — NerfAcc-style acceleration, docs/ROADMAP.md)
