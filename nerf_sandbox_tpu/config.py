@@ -179,6 +179,9 @@ class Config:
     ckpt_backend: str = "npz"          # npz (single-file) | orbax (async)
     ckpt_max_to_keep: int = 0          # orbax retention; 0 = keep all
     mesh_devices: int = 0              # 0 = all visible devices
+    # >1: hierarchical 2-D (dcn_data x ici_data) data mesh for multi-slice
+    # jobs — grad all-reduce decomposes ICI-first (parallel/mesh.py).
+    mesh_slices: int = 0
     compute_dtype: str = "bfloat16"    # MLP matmul dtype on TPU
     # Fused Pallas ray-march (encode+MLP+composite in one VMEM kernel) for
     # eval renders: 1.34x the XLA path on v5e (RESULTS.md). Default ON;
@@ -189,6 +192,12 @@ class Config:
     # (ranked by coarse opacity); the rest keep the coarse composite.
     # 1.0 = reference semantics (refine every ray).
     eval_fine_frac: float = 1.0
+    # Early ray termination in the fused eval kernel: a 128-ray tile skips
+    # its remaining sample chunks once every ray's transmittance < eps
+    # (per-channel error bound eps; standard NeRF eval practice, e.g.
+    # NerfAcc/Instant-NGP). Pallas path only. 0.0 = march every sample
+    # (exact reference semantics).
+    eval_ert_eps: float = 1e-4
     # Async validation: run scheduled validation renders + PNG/TB writes on
     # a worker thread against a params snapshot so the train loop keeps
     # dispatching steps; artifacts are bit-identical to the sync path
@@ -386,11 +395,17 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--ckpt_backend", choices=["npz", "orbax"], default=d.ckpt_backend)
     g.add_argument("--ckpt_max_to_keep", type=int, default=d.ckpt_max_to_keep)
     g.add_argument("--mesh_devices", type=int, default=d.mesh_devices)
+    g.add_argument("--mesh_slices", type=int, default=d.mesh_slices,
+                   help=">1: hierarchical dcn_data x ici_data mesh for "
+                        "multi-slice jobs")
     g.add_argument("--compute_dtype", choices=["bfloat16", "float32"], default=d.compute_dtype)
     g.add_argument("--use_pallas", type=str2bool, default=d.use_pallas)
     g.add_argument("--eval_fine_frac", type=float, default=d.eval_fine_frac,
                    help="Refine only this fraction of eval rays (by coarse "
                         "opacity); 1.0 = refine all (reference semantics)")
+    g.add_argument("--eval_ert_eps", type=float, default=d.eval_ert_eps,
+                   help="Early-ray-termination transmittance threshold in "
+                        "the fused eval kernel; 0.0 = march every sample")
     g.add_argument("--async_val", type=str2bool, default=d.async_val,
                    help="Run validation renders/PNG writes on a worker "
                         "thread (params snapshot) so training never stalls")

@@ -60,6 +60,31 @@ def make_mesh_2d(n_data: int, n_model: int, devices=None,
     return MeshPlan(mesh=Mesh(arr, axis_names))
 
 
+def make_mesh_multihost(n_slices: int, chips_per_slice: int, devices=None,
+                        axis_names=("dcn_data", "ici_data")) -> MeshPlan:
+    """Hierarchical 2-D data mesh for multi-slice (multi-host) training.
+
+    Both axes are data-parallel: the ray batch shards over their product
+    (``P(('dcn_data', 'ici_data'))``).  The mesh's device array is laid out
+    slice-major — axis 0 (``dcn_data``) strides across slices (DCN), axis 1
+    (``ici_data``) walks the chips within one slice (ICI) — so XLA's
+    all-reduce of the grad mean decomposes hierarchically: reduce within
+    each slice over ICI first, then one small all-reduce of per-slice
+    partials across DCN.  Nothing in the step function changes vs the 1-D
+    mesh (the SURVEY §5 multi-slice note); params stay replicated.
+
+    On real hardware pass ``jax.devices()`` (whose order is slice-major
+    already under multi-slice jobs); tests reshape the virtual CPU devices
+    the same way.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = n_slices * chips_per_slice
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.array(devices[:n]).reshape(n_slices, chips_per_slice)
+    return MeshPlan(mesh=Mesh(arr, axis_names))
+
+
 def nerf_param_shardings(plan: MeshPlan, params):
     """Megatron-style alternating TP shardings for a NeRF param pytree.
 
@@ -102,9 +127,15 @@ def apply_param_shardings(plan: MeshPlan, params):
 
 
 def batch_sharding(plan: MeshPlan) -> Optional[NamedSharding]:
+    """Axis-0 sharding of a batch over every data axis of the mesh.
+
+    1-D mesh → ``P('data')``; 2-D data×model → ``P('data')`` (model axis
+    untouched); multi-host 2-D data mesh → ``P(('dcn_data', 'ici_data'))``
+    (batch over the product of both data axes)."""
     if plan.mesh is None:
         return None
-    return NamedSharding(plan.mesh, P("data"))
+    data_axes = tuple(a for a in plan.mesh.axis_names if a != "model")
+    return NamedSharding(plan.mesh, P(data_axes))
 
 
 def replicated_sharding(plan: MeshPlan) -> Optional[NamedSharding]:

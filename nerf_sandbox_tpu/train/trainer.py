@@ -123,9 +123,20 @@ class Trainer:
         devices = jax.devices()
         if cfg.mesh_devices and cfg.mesh_devices > 0:
             devices = devices[:cfg.mesh_devices]
-        self.plan = make_mesh(devices)
+        n_slices = int(getattr(cfg, "mesh_slices", 0) or 0)
+        if n_slices > 1:
+            from nerf_sandbox_tpu.parallel.mesh import make_mesh_multihost
+            assert len(devices) % n_slices == 0, \
+                f"{len(devices)} devices not divisible by {n_slices} slices"
+            self.plan = make_mesh_multihost(n_slices,
+                                            len(devices) // n_slices,
+                                            devices)
+        else:
+            self.plan = make_mesh(devices)
         print(f"[mesh] {self.plan.n_devices} device(s), "
-              f"backend={jax.default_backend()}")
+              f"backend={jax.default_backend()}"
+              + (f", {n_slices} slices (dcn_data x ici_data)"
+                 if n_slices > 1 else ""))
 
         # ---- encoders / model config ----
         self.pos_bands = jnp.asarray(make_frequency_bands(cfg.pos_num_freqs))
@@ -251,6 +262,7 @@ class Trainer:
             compute_dtype=str(cfg.compute_dtype),
             use_pallas=self._pallas_eval_ok(),
             eval_fine_frac=float(getattr(cfg, "eval_fine_frac", 1.0)),
+            eval_ert_eps=float(getattr(cfg, "eval_ert_eps", 0.0)),
             pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
             sampling_mode=self.sampling_mode, occ_cfg=self.occ_cfg)
         self.render_tile = make_tile_renderer(

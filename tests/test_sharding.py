@@ -69,3 +69,55 @@ def test_sharded_eval_render():
 def test_driver_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_multihost_mesh_train_step_matches_single_device():
+    """VERDICT #9: hierarchical 2-D (dcn_data x ici_data) data mesh — the
+    full train step runs with the batch sharded over BOTH axes and matches
+    single-device numerics."""
+    from nerf_sandbox_tpu.parallel.mesh import (batch_sharding,
+                                                make_mesh_multihost)
+    from tests.test_train_step import _setup
+
+    s1, f1, arrs = _setup(batch=128)
+    s1, m1 = f1(s1, arrs)
+
+    plan = make_mesh_multihost(2, 4)
+    assert plan.n_devices == 8
+    spec = batch_sharding(plan).spec
+    assert spec == jax.sharding.PartitionSpec(("dcn_data", "ici_data"))
+    s2, f2, _ = _setup(batch=128, mesh=plan)
+    s2, m2 = f2(s2, arrs)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+
+
+def test_hierarchical_grad_reduction():
+    """Reducing within the slice (ICI axis) first and then across slices
+    (DCN axis) equals the flat global reduction — the decomposition XLA
+    applies to the grad-mean all-reduce on the multihost mesh."""
+    from functools import partial
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from nerf_sandbox_tpu.parallel.mesh import make_mesh_multihost
+
+    plan = make_mesh_multihost(2, 4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 16))
+
+    @partial(shard_map, mesh=plan.mesh,
+             in_specs=P(("dcn_data", "ici_data")), out_specs=P())
+    def hier(xs):
+        local = jnp.sum(xs, axis=0, keepdims=True)
+        ici = jax.lax.psum(local, "ici_data")      # within-slice (ICI)
+        return jax.lax.psum(ici, "dcn_data")       # across slices (DCN)
+
+    @partial(shard_map, mesh=plan.mesh,
+             in_specs=P(("dcn_data", "ici_data")), out_specs=P())
+    def flat(xs):
+        return jax.lax.psum(jnp.sum(xs, axis=0, keepdims=True),
+                            ("dcn_data", "ici_data"))
+
+    np.testing.assert_allclose(np.asarray(hier(x)), np.asarray(flat(x)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(hier(x))[0],
+                               np.asarray(jnp.sum(x, axis=0)), rtol=1e-5)
