@@ -84,14 +84,68 @@ def _kernel(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
             w_sf, b_sf, wc1, bc1, wc2, bc2,
             out_ray, out_wt, state, *, skip_pos: int, n_layers: int,
             hidden: int, softplus_sigma: bool, white_bkgd: bool,
-            n_chunks: int):
+            n_chunks: int, n_rays: int, log_eps):
     f32 = jnp.float32
+    i = pl.program_id(0)
     j = pl.program_id(1)
     Q = TILE_R * CHUNK_N
 
     @pl.when(j == 0)
     def _():
         state[:] = jnp.zeros_like(state[:])
+        # Padded lanes of the last tile start saturated (log T = -80) so
+        # they can neither keep a tile alive under early termination nor
+        # contribute weight (their dt is 0 anyway).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_R), 1)
+        valid = (i * TILE_R + lane) < n_rays
+        state[0:1, :] = jnp.where(valid, 0.0, -80.0)
+
+    if log_eps is not None:
+        # Early ray termination: once every ray in the tile has
+        # transmittance below eps, the remaining sample chunks of this tile
+        # contribute < eps per channel — skip the encode/MLP/composite
+        # entirely and emit zero weights.  TPU grids run chunk-minor and
+        # sequentially, so the carried log T is exact at this point.
+        active = jnp.max(state[0:1, :]) >= log_eps
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            out_wt[:] = jnp.zeros_like(out_wt[:])
+
+        @pl.when(active)
+        def _():
+            _kernel_chunk_body(
+                geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
+                w0, b0, w_mid, b_mid, wskip_h, wskip_e, bskip,
+                w_sf, b_sf, wc1, bc1, wc2, bc2, out_wt, state,
+                skip_pos=skip_pos, n_layers=n_layers, hidden=hidden,
+                softplus_sigma=softplus_sigma)
+    else:
+        _kernel_chunk_body(
+            geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
+            w0, b0, w_mid, b_mid, wskip_h, wskip_e, bskip,
+            w_sf, b_sf, wc1, bc1, wc2, bc2, out_wt, state,
+            skip_pos=skip_pos, n_layers=n_layers, hidden=hidden,
+            softplus_sigma=softplus_sigma)
+
+    @pl.when(j == n_chunks - 1)
+    def _():
+        acc = jnp.clip(state[1:2, :], 0.0, 1.0)
+        comp = state[3:6, :]
+        if white_bkgd:
+            comp = comp + (1.0 - acc)
+        out_ray[:] = jnp.concatenate(
+            [comp, acc, state[2:3, :],                     # Σ w·z (raw)
+             jnp.zeros((3, TILE_R), f32)], axis=0)         # (8, T_R)
+
+
+def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
+                       w0, b0, w_mid, b_mid, wskip_h, wskip_e, bskip,
+                       w_sf, b_sf, wc1, bc1, wc2, bc2,
+                       out_wt, state, *, skip_pos: int, n_layers: int,
+                       hidden: int, softplus_sigma: bool):
+    f32 = jnp.float32
+    Q = TILE_R * CHUNK_N
 
     # ---- per-(sample,ray) channels; rows ordered q = k*TILE_R + r ----
     # Mosaic cannot shape-cast (CN,T_R) <-> (Q,1) (lanes <-> sublanes), so
@@ -191,27 +245,24 @@ def _kernel(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
     ], axis=0)                                             # (8, T_R)
     state[:] = state[:] + upd
 
-    @pl.when(j == n_chunks - 1)
-    def _():
-        acc = jnp.clip(state[1:2, :], 0.0, 1.0)
-        comp = state[3:6, :]
-        if white_bkgd:
-            comp = comp + (1.0 - acc)
-        out_ray[:] = jnp.concatenate(
-            [comp, acc, state[2:3, :],                     # Σ w·z (raw)
-             jnp.zeros((3, TILE_R), f32)], axis=0)         # (8, T_R)
-
 
 def fused_raymarch(params, cfg: NeRFConfig, rays_o, rays_d_unit, z_vals,
                    ray_norms, enc_dir, pos_bands, *,
                    pos_include_input: bool = True,
                    sigma_activation: str = "relu", white_bkgd: bool = True,
-                   infinite_last_bin: bool = True, interpret: bool = False):
+                   infinite_last_bin: bool = True, ert_eps: float = 0.0,
+                   interpret: bool = False):
     """Fused eval forward → (comp (B,3), weights (B,N), acc (B,1), depth (B,1)).
 
     ``enc_dir`` is the per-RAY encoded view direction (B, enc_dir_dim) f32;
     ``pos_bands`` must be CONCRETE (numpy) — callers jit above this level.
     Matches ``nerf_forward_pass`` + ``volume_render_rays`` eval semantics.
+
+    ``ert_eps`` > 0 enables early ray termination: once every ray in a
+    128-ray tile has transmittance < ert_eps, its remaining sample chunks
+    are skipped (their compositing contribution is < ert_eps per channel;
+    the emitted per-sample weights there are 0).  0.0 reproduces the
+    reference's march-every-sample semantics exactly.
     """
     B, N = z_vals.shape
     EP_PAD, ED_PAD = _enc_pads(cfg)
@@ -250,7 +301,8 @@ def fused_raymarch(params, cfg: NeRFConfig, rays_o, rays_d_unit, z_vals,
         _kernel, skip_pos=cfg.skip_pos, n_layers=cfg.n_layers,
         hidden=cfg.hidden_dim,
         softplus_sigma=(sigma_activation == "softplus"),
-        white_bkgd=white_bkgd, n_chunks=n_chunks)
+        white_bkgd=white_bkgd, n_chunks=n_chunks, n_rays=B,
+        log_eps=(float(np.log(ert_eps)) if ert_eps > 0.0 else None))
 
     out_ray_t, out_wt = pl.pallas_call(
         kernel,

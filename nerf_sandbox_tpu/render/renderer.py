@@ -52,6 +52,11 @@ class EvalHyper(NamedTuple):
     # coarse opacity; the rest keep the coarse composite (identical result
     # for empty-background rays). 1.0 = reference semantics (refine all).
     eval_fine_frac: float = 1.0
+    # Early ray termination inside the fused kernel: skip a ray tile's
+    # remaining sample chunks once every ray's transmittance < eps (error
+    # bound eps per channel). 0.0 = reference march-every-sample semantics.
+    # Only affects the Pallas path (XLA eval marches everything).
+    eval_ert_eps: float = 0.0
     pos_encoder: str = "freq"
     enc_cfg: object = None
     # "occupancy": the params_c slot of render_tile carries the occupancy
@@ -81,7 +86,8 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
             pos_bands_np, pos_include_input=hyper.pos_include_input,
             sigma_activation=hyper.sigma_activation,
             white_bkgd=hyper.white_bkgd,
-            infinite_last_bin=hyper.infinite_last_bin)
+            infinite_last_bin=hyper.infinite_last_bin,
+            ert_eps=hyper.eval_ert_eps)
 
     @jax.jit
     def render_tile(params_c, params_f, rays_o, rays_d_unit, ray_norms,

@@ -700,7 +700,13 @@ class Trainer:
                 self.tb_logger.add_scalar("train/lr", float(lr_now), step)
                 self.monitor.log_to_tb(self.tb_logger, step)
                 last_log_time, last_log_step = now, step
-                self.monitor.guard(step)
+                if self.monitor.guard(step) and self.valr.eval_chunk > 1024:
+                    # --thermal_throttle: under HBM pressure shrink the
+                    # validation render tile (reference gpu_thermal.py:69-90
+                    # raises micro-chunks when hot; this is the TPU analogue)
+                    self.valr.eval_chunk //= 2
+                    print(f"[DEVICE] validation eval tile -> "
+                          f"{self.valr.eval_chunk}")
 
             # hierarchical-sampling health check (trainer.py:937-979 cadence)
             if step % 500 == 0 and not occupancy:

@@ -39,19 +39,30 @@ class DeviceMonitor:
         except Exception:
             return None
 
-    def guard(self, step: int) -> None:
-        """Per-step hook (kept for interface parity; warns once if HBM is
-        nearly exhausted — the TPU analogue of the thermal throttle)."""
+    def guard(self, step: int) -> bool:
+        """Per-step hook (reference ``gpu_thermal.py:69-90`` role).
+
+        Returns True when the device is under memory pressure (>95% HBM)
+        AND throttling is enabled — the trainer responds by halving the
+        validation eval tile (the TPU analogue of the reference raising
+        micro-chunks when hot).  Warns on each new pressure episode."""
         if step % self.check_every:
-            return
+            return False
         s = self.hbm_stats()
-        if s and s["bytes_limit"] and not self._warned:
-            frac = s["bytes_in_use"] / s["bytes_limit"]
-            if frac > 0.95:
-                print(f"[DEVICE] HBM {frac*100:.1f}% full "
-                      f"({s['bytes_in_use']/2**30:.2f} GiB) — consider "
-                      f"--micro_chunks or a smaller --eval_chunk")
-                self._warned = True
+        if not (s and s["bytes_limit"]):
+            return False
+        frac = s["bytes_in_use"] / s["bytes_limit"]
+        if frac <= 0.95:
+            self._warned = False
+            return False
+        if not self._warned:
+            print(f"[DEVICE] HBM {frac*100:.1f}% full "
+                  f"({s['bytes_in_use']/2**30:.2f} GiB)"
+                  + (" — halving validation eval tile" if self.enable_throttle
+                     else " — consider --micro_chunks, a smaller "
+                          "--eval_chunk, or --thermal_throttle"))
+            self._warned = True
+        return self.enable_throttle
 
     def log_to_tb(self, tb_logger, step: int) -> None:
         s = self.hbm_stats()

@@ -81,3 +81,38 @@ def test_fused_raymarch_padding_independence():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(full[1][:9]), np.asarray(small[1]),
                                atol=1e-5)
+
+
+def test_fused_raymarch_early_termination():
+    """ert_eps: dropped contributions are bounded by eps, and saturated
+    tiles actually skip (exact-zero weights past the saturation chunk)."""
+    pos_b, dir_b = vanilla_encoders()
+    params = init_nerf_params(jax.random.PRNGKey(0), CFG)
+
+    # normal rays: ERT on vs off differ by at most ~eps per channel
+    o, d, norms, z = _rays(b=37, n=21, seed=0)
+    enc_dir = positional_encoding(d, jnp.asarray(dir_b))
+    base = fused_raymarch(params, CFG, o, d, z, norms, enc_dir, pos_b,
+                          interpret=True)
+    ert = fused_raymarch(params, CFG, o, d, z, norms, enc_dir, pos_b,
+                         ert_eps=1e-4, interpret=True)
+    np.testing.assert_allclose(np.asarray(ert[0]), np.asarray(base[0]),
+                               atol=1e-3, err_msg="comp")
+    np.testing.assert_allclose(np.asarray(ert[2]), np.asarray(base[2]),
+                               atol=1e-3, err_msg="acc")
+
+    # saturating rays (huge metric deltas): every ray's T collapses in the
+    # first chunks, so later chunks must be skipped -> exact-zero weights
+    o, d, norms, z = _rays(b=130, n=48, seed=7)
+    big = norms * 1e6
+    enc_dir = positional_encoding(d, jnp.asarray(dir_b))
+    ert = fused_raymarch(params, CFG, o, d, z, big, enc_dir, pos_b,
+                         ert_eps=1e-4, interpret=True)
+    base = fused_raymarch(params, CFG, o, d, z, big, enc_dir, pos_b,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(ert[0]), np.asarray(base[0]),
+                               atol=1e-3)
+    assert np.all(np.isfinite(np.asarray(ert[0])))
+    w = np.asarray(ert[1])                      # (130, 48)
+    # last chunk (samples 32:48) of every ray: exactly zero => skip ran
+    assert np.all(w[:, 32:] == 0.0), "saturated tail chunks were not skipped"

@@ -1,0 +1,37 @@
+"""DeviceMonitor: HBM-pressure guard + --thermal_throttle behavior
+(reference gpu_thermal.py:29-90 role parity)."""
+
+from nerf_sandbox_tpu.utils.device_monitor import DeviceMonitor
+
+
+def _patched(monitor, frac):
+    monitor.hbm_stats = lambda: {"bytes_in_use": int(frac * 100),
+                                 "bytes_limit": 100,
+                                 "peak_bytes_in_use": int(frac * 100)}
+    return monitor
+
+
+def test_guard_throttles_only_when_enabled():
+    m = _patched(DeviceMonitor(enable_throttle=False, check_every=1), 0.97)
+    assert m.guard(1) is False          # pressure, but throttle disabled
+    m2 = _patched(DeviceMonitor(enable_throttle=True, check_every=1), 0.97)
+    assert m2.guard(1) is True          # pressure + enabled -> throttle
+
+
+def test_guard_warns_per_episode(capsys):
+    m = _patched(DeviceMonitor(enable_throttle=True, check_every=1), 0.97)
+    m.guard(1)
+    m.guard(2)
+    out = capsys.readouterr().out
+    assert out.count("[DEVICE]") == 1   # one warning per episode
+    _patched(m, 0.5)
+    assert m.guard(3) is False          # pressure gone -> reset
+    _patched(m, 0.97)
+    m.guard(4)
+    assert "[DEVICE]" in capsys.readouterr().out  # new episode warns again
+
+
+def test_guard_respects_cadence():
+    m = _patched(DeviceMonitor(enable_throttle=True, check_every=20), 0.97)
+    assert m.guard(7) is False          # off-cadence steps skip the check
+    assert m.guard(20) is True
