@@ -335,6 +335,30 @@ class Trainer:
         except Exception as e:
             print(f"[DEBUG] run_debug dump failed: {e}")
 
+    def _print_ray_norms(self, step: int) -> None:
+        """First-100-step ray-norm sanity prints (trainer.py:886-893 role):
+        regenerates the step's batch from the fold_in(seed, step) stream."""
+        try:
+            if not hasattr(self, "_ray_norm_fn"):
+                from nerf_sandbox_tpu.data.sampler import sample_ray_batch
+                spec, seed = self.spec, self.cfg.seed
+
+                @jax.jit
+                def _stats(scene, step):
+                    key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
+                    k_batch, _ = jax.random.split(key)
+                    b = sample_ray_batch(k_batch, step, scene, spec)
+                    w, m = b["rays_d_world_norm"], b["rays_d_marching_norm"]
+                    return (w.min(), w.max(), m.min(), m.max())
+                self._ray_norm_fn = _stats
+            wmin, wmax, mmin, mmax = [
+                float(v) for v in self._ray_norm_fn(
+                    self.scene_arrays, jnp.asarray(step))]
+            print(f"[RAYS] step {step}: |d_world| in [{wmin:.4f},{wmax:.4f}] "
+                  f"|d_march| in [{mmin:.4f},{mmax:.4f}]")
+        except Exception as e:
+            print(f"[RAYS] norm debug failed: {e}")
+
     def _fine_sampling_diagnostic(self, step: int, n_rays: int = 128) -> None:
         """Every-500-steps hierarchical-sampling health check: % of fine
         samples landing in the top-4 coarse intervals vs the expected mass
@@ -647,6 +671,13 @@ class Trainer:
                 self._maybe_update_occupancy(step)
             if "skipped" in metrics:
                 pending_skips.append(metrics["skipped"])
+
+            # first-100-step ray-norm sanity prints (reference
+            # trainer.py:886-893; every 10th step — the batch is
+            # regenerated from the same fold_in(seed, step) stream the
+            # jitted step used, so the numbers are exact)
+            if step <= 100 and step % 10 in (0, 1):
+                self._print_ray_norms(step)
 
             # signals (checked every dispatch; cheap — host-only flags)
             if self.signals.sigusr1:

@@ -1,0 +1,142 @@
+"""Eval-throughput bench: 800x800 frame renders across eval-path variants.
+
+Measures the reference ``render_image_chunked`` role
+(``render_utils.py:285-417``) on TPU: XLA vs fused Pallas ray-march, fine
+-ray culling (--eval_fine_frac), early ray termination (--eval_ert_eps),
+and occupancy-mode eval.  Uses a TRAINED checkpoint (opacity distribution
+drives culling/ERT, so random params would lie).
+
+Tunnel honesty: every rendered frame uses a different camera pose (the
+axon tunnel fabricates timings for repeat executions of identical
+programs+args), and the host np.asarray pull in render_pose is the
+execution barrier.
+
+Usage:
+  python scripts/bench_eval.py --ckpt_dir /tmp/bench_ckpt --data_root /tmp/spheres_v
+  (trains 3k vanilla steps into --ckpt_dir first if it has no checkpoint;
+   add --occ_dir for an occupancy-mode checkpoint to bench that variant)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _trainer_for(data_root, out_dir, extra=()):
+    from nerf_sandbox_tpu.scripts.train_nerf import main as cli_main
+    argv = ["--data_root", data_root, "--out_dir", out_dir, "--vanilla",
+            "--max_steps", "3000", "--val_every", "100000",
+            "--log_every", "1000", *extra]
+    cli_main(argv)
+
+
+def _load(data_root, out_dir, extra=()):
+    from nerf_sandbox_tpu.config import (apply_path_defaults,
+                                         apply_vanilla_profile,
+                                         build_argparser, make_cfg_from_args)
+    from nerf_sandbox_tpu.train.trainer import Trainer
+    argv = ["--data_root", data_root, "--out_dir", out_dir, "--vanilla",
+            *extra]
+    cfg = make_cfg_from_args(build_argparser().parse_args(argv))
+    cfg.data_kind = "blender"
+    if cfg.centering is None:
+        cfg.centering = "none"
+    cfg = apply_vanilla_profile(cfg)
+    cfg = apply_path_defaults(cfg, "blender")
+    tr = Trainer(cfg)
+    step = tr.load_latest_checkpoint(load_optim=False)
+    print(f"[bench_eval] restored step {step} from {out_dir}")
+    return tr
+
+
+def _poses(n, radius=4.0):
+    """n distinct look-at-origin poses on a circle (distinct args per rep)."""
+    out = []
+    for i in range(n):
+        th = 2 * np.pi * (i + 1) / (n + 3)
+        eye = np.array([radius * np.sin(th), 0.6, radius * np.cos(th)])
+        fwd = eye / np.linalg.norm(eye)                 # +z back toward eye
+        right = np.cross(np.array([0.0, 1.0, 0.0]), fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, up, fwd, eye
+        out.append(c2w)
+    return out
+
+
+def _bench_variant(tr, hyper, label, H=800, W=800, eval_chunk=32768,
+                   n_frames=3):
+    from nerf_sandbox_tpu.render.renderer import make_tile_renderer, render_pose
+    tile = make_tile_renderer(hyper, tr.pos_bands, tr.dir_bands, plan=tr.plan)
+    K = np.array([[0.5 * W / np.tan(0.3), 0, W / 2],
+                  [0, 0.5 * W / np.tan(0.3), H / 2], [0, 0, 1]], np.float32)
+    pc, pf = tr.eval_params()
+    poses = _poses(n_frames + 1)
+    render_pose(tile, pc, pf, poses[0], H, W, K, eval_chunk=eval_chunk)  # warm
+    t0 = time.time()
+    acc_mean = 0.0
+    for c2w in poses[1:]:
+        out = render_pose(tile, pc, pf, c2w, H, W, K, eval_chunk=eval_chunk)
+        acc_mean += float(out["acc"].mean())
+    dt = (time.time() - t0) / n_frames
+    rays = H * W / dt
+    print(f"  {label:42s} {dt:6.2f} s/frame  {rays/1e3:7.0f}k rays/s  "
+          f"(mean acc {acc_mean/n_frames:.3f})")
+    return {"label": label, "s_per_frame": dt, "rays_per_s": rays}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_root", default="/tmp/spheres_v")
+    ap.add_argument("--ckpt_dir", default="/tmp/bench_eval_ckpt")
+    ap.add_argument("--occ_dir", default=None,
+                    help="out_dir of an occupancy-mode run to bench")
+    ap.add_argument("--frames", type=int, default=3)
+    args = ap.parse_args()
+
+    if not list(Path(args.ckpt_dir).glob("checkpoints/*")):
+        print("[bench_eval] no checkpoint — training 3k vanilla steps first")
+        _trainer_for(args.data_root, args.ckpt_dir)
+
+    tr = _load(args.data_root, args.ckpt_dir)
+    h = tr.eval_hyper._replace(sampling_mode="hierarchical", nf_eval=192)
+    results = []
+    for hyper, label in [
+        (h._replace(use_pallas=False, eval_fine_frac=1.0, eval_ert_eps=0.0),
+         "XLA, refine-all"),
+        (h._replace(use_pallas=True, eval_fine_frac=1.0, eval_ert_eps=0.0),
+         "fused kernel, refine-all"),
+        (h._replace(use_pallas=True, eval_fine_frac=1.0, eval_ert_eps=1e-4),
+         "fused kernel + ERT"),
+        (h._replace(use_pallas=True, eval_fine_frac=0.5, eval_ert_eps=0.0),
+         "fused kernel + cull 0.5"),
+        (h._replace(use_pallas=True, eval_fine_frac=0.5, eval_ert_eps=1e-4),
+         "fused kernel + cull 0.5 + ERT (default)"),
+    ]:
+        results.append(_bench_variant(tr, hyper, label, n_frames=args.frames))
+
+    if args.occ_dir:
+        tro = _load(args.data_root, args.occ_dir,
+                    extra=["--sampling", "occupancy"])
+        ho = tro.eval_hyper
+        for hyper, label in [
+            (ho._replace(use_pallas=True, eval_ert_eps=0.0),
+             "occupancy eval (128 samples), fused"),
+            (ho._replace(use_pallas=True, eval_ert_eps=1e-4),
+             "occupancy eval + ERT"),
+        ]:
+            results.append(_bench_variant(tro, hyper, label,
+                                          n_frames=args.frames))
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
