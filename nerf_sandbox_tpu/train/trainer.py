@@ -758,6 +758,12 @@ class Trainer:
             if step % ckpt_every == 0:
                 self.save_checkpoint(step)
 
+        # End-of-training checkpoint when max_steps isn't a ckpt_every
+        # multiple (divergence from the reference, which leaves such runs
+        # checkpoint-less and unable to --render_only / resume).
+        if step % ckpt_every != 0 and not interrupted:
+            self.save_checkpoint(step)
+
         if profiling:
             jax.profiler.stop_trace()
 

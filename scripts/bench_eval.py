@@ -27,12 +27,14 @@ from pathlib import Path
 
 import numpy as np
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 
 def _trainer_for(data_root, out_dir, extra=()):
     from nerf_sandbox_tpu.scripts.train_nerf import main as cli_main
     argv = ["--data_root", data_root, "--out_dir", out_dir, "--vanilla",
             "--max_steps", "3000", "--val_every", "100000",
-            "--log_every", "1000", *extra]
+            "--ckpt_every", "1000", "--log_every", "1000", *extra]
     cli_main(argv)
 
 
@@ -72,24 +74,69 @@ def _poses(n, radius=4.0):
 
 
 def _bench_variant(tr, hyper, label, H=800, W=800, eval_chunk=32768,
-                   n_frames=3):
-    from nerf_sandbox_tpu.render.renderer import make_tile_renderer, render_pose
-    tile = make_tile_renderer(hyper, tr.pos_bands, tr.dir_bands, plan=tr.plan)
+                   n_reps=3):
+    """Per-frame DEVICE time via a dependent chain: ONE jitted fori_loop
+    renders every tile of a real 800x800 frame (outputs chained into the
+    next tile's origins), so a frame is a single dispatch and the axon
+    tunnel's per-call latency / repeat-execution fabrication can't skew
+    the numbers (CLAUDE.md methodology).  The barrier is a float() pull."""
+    import jax
+    import jax.numpy as jnp
+    from nerf_sandbox_tpu.core.rays import get_camera_rays_grid
+    from nerf_sandbox_tpu.render.renderer import make_tile_renderer
+    tile_fn = make_tile_renderer(hyper, tr.pos_bands, tr.dir_bands,
+                                 plan=tr.plan)
     K = np.array([[0.5 * W / np.tan(0.3), 0, W / 2],
                   [0, 0.5 * W / np.tan(0.3), H / 2], [0, 0, 1]], np.float32)
     pc, pf = tr.eval_params()
-    poses = _poses(n_frames + 1)
-    render_pose(tile, pc, pf, poses[0], H, W, K, eval_chunk=eval_chunk)  # warm
-    t0 = time.time()
-    acc_mean = 0.0
-    for c2w in poses[1:]:
-        out = render_pose(tile, pc, pf, c2w, H, W, K, eval_chunk=eval_chunk)
-        acc_mean += float(out["acc"].mean())
-    dt = (time.time() - t0) / n_frames
-    rays = H * W / dt
-    print(f"  {label:42s} {dt:6.2f} s/frame  {rays/1e3:7.0f}k rays/s  "
-          f"(mean acc {acc_mean/n_frames:.3f})")
-    return {"label": label, "s_per_frame": dt, "rays_per_s": rays}
+    c2w = _poses(1)[0]
+    rays = get_camera_rays_grid(jnp.asarray(K), jnp.asarray(c2w),
+                                image_h=H, image_w=W, convention="opengl",
+                                pixel_center=True)
+    n = H * W
+    tile = int(eval_chunk)
+    n_pad = (-n) % tile
+    n_tiles = (n + n_pad) // tile
+
+    def pad(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((n_pad,) + x.shape[1:], fill, x.dtype)]) \
+            if n_pad else x
+
+    ro = pad(rays.o_march)
+    rd = pad(rays.d_march_unit)
+    rn = pad(rays.d_march_norm.reshape(n, 1), 1.0)
+    vd = pad(rays.d_world_unit)
+    if n_pad:   # zero dirs are degenerate; padded rays march +z
+        rd = rd.at[n:].set(jnp.array([0.0, 0.0, 1.0]))
+        vd = vd.at[n:].set(jnp.array([0.0, 0.0, 1.0]))
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def frame(ro_all):
+        def body(t, carry):
+            eps, acc_sum = carry
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, t * tile, tile)
+            rgb, acc, _ = tile_fn(pc, pf, sl(ro_all) + eps, sl(rd),
+                                  sl(rn), sl(vd), key)
+            return (jnp.float32(1e-30) * rgb.sum(), acc_sum + acc.sum())
+        _, acc_sum = jax.lax.fori_loop(
+            0, n_tiles, body, (jnp.float32(0.0), jnp.float32(0.0)))
+        return acc_sum
+
+    float(frame(ro))                                    # warm-up / compile
+    times = []
+    acc_last = 0.0
+    for r in range(n_reps):
+        ro_r = ro + jnp.float32(1e-6 * (r + 1))         # distinct args
+        t0 = time.time()
+        acc_last = float(frame(ro_r))                   # float() = barrier
+        times.append(time.time() - t0)
+    dt = min(times)
+    rays_s = n / dt
+    print(f"  {label:42s} {dt:6.2f} s/frame  {rays_s/1e3:7.0f}k rays/s  "
+          f"(mean acc {acc_last/n:.3f}, reps {['%.2f' % t for t in times]})")
+    return {"label": label, "s_per_frame": dt, "rays_per_s": rays_s}
 
 
 def main():
@@ -120,7 +167,7 @@ def main():
         (h._replace(use_pallas=True, eval_fine_frac=0.5, eval_ert_eps=1e-4),
          "fused kernel + cull 0.5 + ERT (default)"),
     ]:
-        results.append(_bench_variant(tr, hyper, label, n_frames=args.frames))
+        results.append(_bench_variant(tr, hyper, label, n_reps=args.frames))
 
     if args.occ_dir:
         tro = _load(args.data_root, args.occ_dir,
@@ -133,7 +180,7 @@ def main():
              "occupancy eval + ERT"),
         ]:
             results.append(_bench_variant(tro, hyper, label,
-                                          n_frames=args.frames))
+                                          n_reps=args.frames))
 
     print(json.dumps(results))
 
