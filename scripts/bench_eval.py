@@ -145,6 +145,10 @@ def main():
     ap.add_argument("--ckpt_dir", default="/tmp/bench_eval_ckpt")
     ap.add_argument("--occ_dir", default=None,
                     help="out_dir of an occupancy-mode run to bench")
+    ap.add_argument("--kp_dir", default=None,
+                    help="out_dir of a kplanes+occupancy run to bench")
+    ap.add_argument("--skip_hier", action="store_true",
+                    help="skip the hierarchical variants")
     ap.add_argument("--frames", type=int, default=3)
     args = ap.parse_args()
 
@@ -152,10 +156,11 @@ def main():
         print("[bench_eval] no checkpoint — training 3k vanilla steps first")
         _trainer_for(args.data_root, args.ckpt_dir)
 
-    tr = _load(args.data_root, args.ckpt_dir)
-    h = tr.eval_hyper._replace(sampling_mode="hierarchical", nf_eval=192)
     results = []
-    for hyper, label in [
+    if not args.skip_hier:
+        tr = _load(args.data_root, args.ckpt_dir)
+        h = tr.eval_hyper._replace(sampling_mode="hierarchical", nf_eval=192)
+    for hyper, label in [] if args.skip_hier else [
         (h._replace(use_pallas=False, eval_fine_frac=1.0, eval_ert_eps=0.0),
          "XLA, refine-all"),
         (h._replace(use_pallas=True, eval_fine_frac=1.0, eval_ert_eps=0.0),
@@ -181,6 +186,14 @@ def main():
         ]:
             results.append(_bench_variant(tro, hyper, label,
                                           n_reps=args.frames))
+
+    if args.kp_dir:
+        trk = _load(args.data_root, args.kp_dir,
+                    extra=["--sampling", "occupancy", "--encoder", "kplanes"])
+        hk = trk.eval_hyper._replace(use_pallas=False)  # XLA (kplanes enc)
+        results.append(_bench_variant(
+            trk, hk, "kplanes+occupancy eval (XLA, 3x64 MLP)",
+            n_reps=args.frames))
 
     print(json.dumps(results))
 
