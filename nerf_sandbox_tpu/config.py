@@ -109,6 +109,10 @@ class Config:
 
     # Optim / schedule
     lr: float = 5e-4
+    # >0: separate Adam lr for grid-encoder tables (kplanes/hashgrid
+    # pos_grid subtrees; Instant-NGP practice — tables want ~1e-2 while
+    # the MLP wants 5e-4). 0 = shared lr (reference semantics).
+    lr_grid: float = 0.0
     lr_scheduler: str = "cosine"
     lr_scheduler_params: Any = field(
         default_factory=lambda: {"eta_min": 5e-6, "T_max": 200_000})
@@ -297,6 +301,8 @@ def build_argparser() -> argparse.ArgumentParser:
 
     g = p.add_argument_group("optim")
     g.add_argument("--lr", type=float, default=d.lr)
+    g.add_argument("--lr_grid", type=float, default=d.lr_grid,
+                   help=">0: separate Adam lr for kplanes/hashgrid tables")
     g.add_argument("--lr_scheduler", choices=["none", "cosine"], default=d.lr_scheduler)
     g.add_argument("--lr_scheduler_params", type=str,
                    default=d.lr_scheduler_params,

@@ -87,11 +87,33 @@ def make_lr_schedule(name: str, lr: float, params: dict):
 
 def make_optimizer(lr: float, scheduler: str = "cosine",
                    scheduler_params: dict | None = None,
-                   grad_clip_norm: float = 0.0) -> optax.GradientTransformation:
+                   grad_clip_norm: float = 0.0,
+                   grid_lr: float = 0.0) -> optax.GradientTransformation:
     """One Adam over both models (trainer.py:383-391), optional global-norm
-    clip (trainer.py:719-721)."""
+    clip (trainer.py:719-721).
+
+    ``grid_lr`` > 0 gives grid-encoder tables (the ``pos_grid`` subtrees of
+    the kplanes / hashgrid families) their own Adam learning rate under the
+    same scheduler shape (Instant-NGP practice: tables want ~1e-2 while the
+    MLP wants 5e-4; eta_min scales proportionally). 0 = one shared lr —
+    reference semantics (the reference has no grid encoders)."""
     schedule = make_lr_schedule(scheduler, lr, scheduler_params or {})
-    tx = optax.adam(schedule)
+    if grid_lr and grid_lr > 0:
+        sp = dict(scheduler_params or {})
+        if "eta_min" in sp and lr:
+            sp["eta_min"] = float(sp["eta_min"]) * grid_lr / lr
+        grid_schedule = make_lr_schedule(scheduler, grid_lr, sp)
+
+        def labels(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: "grid" if any(
+                    getattr(k, "key", None) == "pos_grid" for k in path)
+                else "mlp", params)
+        tx = optax.multi_transform(
+            {"mlp": optax.adam(schedule), "grid": optax.adam(grid_schedule)},
+            labels)
+    else:
+        tx = optax.adam(schedule)
     if grad_clip_norm and grad_clip_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
     return tx

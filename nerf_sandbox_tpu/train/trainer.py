@@ -222,11 +222,18 @@ class Trainer:
 
         sched_params = dict(cfg.lr_scheduler_params or {})
         sched_params.setdefault("T_max", cfg.max_steps)
+        grid_lr = float(getattr(cfg, "lr_grid", 0.0) or 0.0)
+        if grid_lr > 0 and self.pos_encoder not in ("hashgrid", "kplanes"):
+            print("[cfg] note: --lr_grid has no effect without a grid "
+                  "encoder (--encoder kplanes|hashgrid)")
+            grid_lr = 0.0
         self.tx = make_optimizer(cfg.lr, cfg.lr_scheduler, sched_params,
-                                 grad_clip_norm=cfg.grad_clip_norm)
+                                 grad_clip_norm=cfg.grad_clip_norm,
+                                 grid_lr=grid_lr)
         self.lr_info = {"lr": cfg.lr, "scheduler": cfg.lr_scheduler,
                         "params": sched_params,
-                        "grad_clip_norm": cfg.grad_clip_norm}
+                        "grad_clip_norm": cfg.grad_clip_norm,
+                        "lr_grid": grid_lr}
 
         init_acc = (None if cfg.vanilla or not cfg.initial_acc_opacity
                     else float(cfg.initial_acc_opacity))

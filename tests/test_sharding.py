@@ -121,3 +121,19 @@ def test_hierarchical_grad_reduction():
                                rtol=1e-6)
     np.testing.assert_allclose(np.asarray(hier(x))[0],
                                np.asarray(jnp.sum(x, axis=0)), rtol=1e-5)
+
+
+def test_trainer_mesh_slices_cli(tmp_path):
+    """--mesh_slices wires the hierarchical mesh through the Trainer and a
+    real (tiny) train run completes on it."""
+    from tests.test_loaders import _make_blender
+    from nerf_sandbox_tpu.scripts.train_nerf import main
+    scene = _make_blender(tmp_path / "scene", n_frames=2, size=16)
+    out = tmp_path / "exp"
+    main(["--data_root", str(scene), "--out_dir", str(out),
+          "--data_kind", "blender", "--max_steps", "4",
+          "--rays_per_batch", "64", "--nc", "4", "--nf", "4",
+          "--num_val_steps", "1", "--ckpt_every", "4", "--log_every", "2",
+          "--progress_frames", "2", "--eval_chunk", "128",
+          "--mesh_slices", "2"])
+    assert (out / "checkpoints" / "ckpt_0000004.ckpt").exists()
