@@ -81,11 +81,27 @@ class LLFFSceneLoader:
     @staticmethod
     def _png_has_gamma_chunk(path: Path) -> bool:
         """True if the PNG carries a gAMA chunk (the only case where the
-        reference's ``apply_gamma=True`` read changes pixel values)."""
+        reference's ``apply_gamma=True`` read changes pixel values).
+
+        Walks the real chunk structure (length/type framing) up to the
+        first IDAT — a raw substring scan would both miss a gAMA sitting
+        past an arbitrary prefix and false-positive on the byte sequence
+        inside compressed iCCP/zTXt data."""
         try:
             with open(path, "rb") as f:
-                head = f.read(4096)
-            return b"gAMA" in head
+                if f.read(8) != b"\x89PNG\r\n\x1a\n":
+                    return False
+                while True:
+                    hdr = f.read(8)
+                    if len(hdr) < 8:
+                        return False
+                    (length,) = np.frombuffer(hdr[:4], ">u4")
+                    ctype = hdr[4:8]
+                    if ctype == b"gAMA":
+                        return True
+                    if ctype in (b"IDAT", b"IEND"):
+                        return False      # gAMA must precede IDAT (spec)
+                    f.seek(int(length) + 4, 1)    # data + CRC
         except OSError:
             return False
 

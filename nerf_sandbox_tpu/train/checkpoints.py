@@ -188,12 +188,7 @@ def find_latest_checkpoint(ckpt_dir, out_dir=None) -> Optional[Path]:
                            if not p.is_symlink() and _STEP_RE.search(p.name)]
     if not candidates:
         return None
-
-    def step_of(p: Path) -> int:
-        m = _STEP_RE.search(p.name)
-        return int(m.group(1)) if m else -1
-
-    candidates.sort(key=lambda p: (step_of(p), p.stat().st_mtime))
+    candidates.sort(key=lambda p: (step_of_path(p), p.stat().st_mtime))
     return candidates[-1]
 
 
@@ -236,8 +231,19 @@ def load_checkpoint(path, state, *, load_optim: bool = True,
     if load_optim and any(k.startswith("opt" + _SEP) for k in flat):
         opt_state, miss_o, _ = _unflatten_like(state.opt_state, flat, "opt" + _SEP)
         if miss_o:
-            print(f"[CKPT] WARNING: {len(miss_o)} optimizer leaves missing "
-                  "from the file; they keep fresh-init values.")
+            # Same gate as params: a shape change (e.g. toggling --lr_grid
+            # wraps leaves in MultiTransformState paths) silently resets
+            # Adam moments otherwise — a loss spike with no error.
+            omsg = (f"checkpoint/optimizer key mismatch: {len(miss_o)} "
+                    f"template optimizer leaves missing from the file "
+                    f"(e.g. {miss_o[:3]}). The checkpoint was likely saved "
+                    "under a different optimizer config (--lr_grid?).")
+            if not allow_partial:
+                raise ValueError(
+                    omsg + " Pass --allow_partial_restore to load anyway "
+                    "(missing moments stay freshly initialised), or "
+                    "--resume_no_optim to discard optimizer state.")
+            print(f"[CKPT] WARNING: partial restore — {omsg}")
 
     import jax.numpy as jnp
     new_state = state._replace(step=jnp.int32(step), params_c=params_c,

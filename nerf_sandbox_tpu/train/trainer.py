@@ -409,12 +409,15 @@ class Trainer:
 
     def _pallas_eval_ok(self) -> bool:
         """Fused Pallas ray-march for eval renders (default on): requires a
-        real TPU backend, a frequency encoder, and the fusable architecture
-        family (hidden%128==0, one interior skip)."""
+        real TPU backend, a frequency encoder, the fusable architecture
+        family (hidden%128==0, one interior skip), and a SINGLE-device
+        plan — GSPMD has no partitioning rule for Mosaic custom calls, so
+        on a mesh the sharded XLA eval path stays in charge."""
         from nerf_sandbox_tpu.ops.fused_mlp import fusable, pallas_available
         return bool(self.cfg.use_pallas and pallas_available()
                     and fusable(self.model_cfg)
-                    and self.pos_encoder == "freq")
+                    and self.pos_encoder == "freq"
+                    and self.plan.n_devices == 1)
 
     # ------------------------------------------------------------------
     # checkpoints
@@ -663,114 +666,121 @@ class Trainer:
             return nxt
 
         step = start_step - 1
-        while step < max_steps:
-            occ_args = (self.occ_grid,) if occupancy else ()
-            if chunk_step is not None and step + scan <= _next_boundary(step + 1):
-                self.state, metrics = chunk_step(self.state, self.scene_arrays,
-                                                 *occ_args)
-                step += scan
-            else:
-                self.state, metrics = self.train_step(self.state,
-                                                      self.scene_arrays,
-                                                      *occ_args)
-                step += 1
-            if occupancy and step % self.occ_cfg.update_every == 0:
-                self._maybe_update_occupancy(step)
-            if "skipped" in metrics:
-                pending_skips.append(metrics["skipped"])
-
-            # first-100-step ray-norm sanity prints (reference
-            # trainer.py:886-893; every 10th step — the batch is
-            # regenerated from the same fold_in(seed, step) stream the
-            # jitted step used, so the numbers are exact)
-            if step <= 100 and step % 10 in (0, 1):
-                self._print_ray_norms(step)
-
-            # signals (checked every dispatch; cheap — host-only flags)
-            if self.signals.sigusr1:
-                try:
-                    self.save_checkpoint(step, tag=f"pause_step_{step}")
-                except Exception as e:
-                    print(f"[PAUSE] checkpoint save failed: {e}")
-                self.signals.sigusr1 = False
-            if self.signals.sigint:
-                try:
-                    self.save_checkpoint(step, tag=f"interrupt_step_{step}")
-                except Exception as e:
-                    print(f"[INT] checkpoint save failed: {e}")
-                print("[INT] Exiting training loop.")
-                interrupted = True
-                break
-
-            # logging (pulls device values only here)
-            if step - last_log_step >= log_every or step == max_steps:
-                loss_val = float(metrics["loss"])
-                psnr_val = float(metrics["psnr"])
-                n_skipped = int(np.sum(jax.device_get(pending_skips))) \
-                    if pending_skips else 0
-                pending_skips.clear()
-                if n_skipped > 0:
-                    print(f"[WARN] {n_skipped} non-finite loss step(s) since "
-                          f"the last log (ending at step {step}); those "
-                          "updates were skipped.")
-                now = time.time()
-                steps_delta = max(1, step - last_log_step)
-                sec_per_step = (now - last_log_time) / steps_delta
-                eta_window.append(sec_per_step)
-                avg = sum(eta_window) / len(eta_window)
-                eta_train = (max_steps - step) * avg
-                rem_val = len(self.val_steps) - self._val_next_idx
-                eta_total = eta_train + rem_val * self._val_avg_seconds
-                lr_now = self.lr_info["lr"]
-                try:
-                    from nerf_sandbox_tpu.train.step import make_lr_schedule
-                    sched = make_lr_schedule(cfg.lr_scheduler, cfg.lr,
-                                             self.lr_info["params"])
-                    lr_now = float(sched(step - 1)) if callable(sched) else sched
-                except Exception:
-                    pass
-                print(f"[{step:7d}] loss={loss_val:.6f} psnr={psnr_val:.2f} "
-                      f"lr={lr_now:.2e} ({sec_per_step:.3f}s/step avg {avg:.3f}s) "
-                      f"rays/s={self.spec.rays_per_batch / max(avg, 1e-9):,.0f} "
-                      f"ETA(train) {_fmt_eta(eta_train)} | ETA(total) {_fmt_eta(eta_total)}")
-                self.tb_logger.add_scalar("train/loss", loss_val, step)
-                self.tb_logger.add_scalar("train/psnr", psnr_val, step)
-                self.tb_logger.add_scalar("train/lr", float(lr_now), step)
-                self.monitor.log_to_tb(self.tb_logger, step)
-                last_log_time, last_log_step = now, step
-                if self.monitor.guard(step) and self.valr.eval_chunk > 1024:
-                    # --thermal_throttle: under HBM pressure shrink the
-                    # validation render tile (reference gpu_thermal.py:69-90
-                    # raises micro-chunks when hot; this is the TPU analogue)
-                    self.valr.eval_chunk //= 2
-                    print(f"[DEVICE] validation eval tile -> "
-                          f"{self.valr.eval_chunk}")
-
-            # hierarchical-sampling health check (trainer.py:937-979 cadence)
-            if step % 500 == 0 and not occupancy:
-                self._fine_sampling_diagnostic(step)
-
-            # scheduled validation
-            if (self._val_next_idx < len(self.val_steps)
-                    and step == self.val_steps[self._val_next_idx]):
-                self._dispatch_validation(step)
-                self._val_next_idx += 1
-                if self._val_next_idx < len(self.val_steps):
-                    print(f"[VAL] next validation at step "
-                          f"{self.val_steps[self._val_next_idx]} "
-                          f"({self._val_next_idx + 1}/{len(self.val_steps)})")
+        try:
+            while step < max_steps:
+                occ_args = (self.occ_grid,) if occupancy else ()
+                if chunk_step is not None and step + scan <= _next_boundary(step + 1):
+                    self.state, metrics = chunk_step(self.state, self.scene_arrays,
+                                                     *occ_args)
+                    step += scan
                 else:
-                    print("[VAL] schedule complete.")
+                    self.state, metrics = self.train_step(self.state,
+                                                          self.scene_arrays,
+                                                          *occ_args)
+                    step += 1
+                if occupancy and step % self.occ_cfg.update_every == 0:
+                    self._maybe_update_occupancy(step)
+                if "skipped" in metrics:
+                    pending_skips.append(metrics["skipped"])
 
-            if step % ckpt_every == 0:
+                # first-100-step ray-norm sanity prints (reference
+                # trainer.py:886-893; every 10th step — the batch is
+                # regenerated from the same fold_in(seed, step) stream the
+                # jitted step used, so the numbers are exact)
+                if step <= 100 and step % 10 in (0, 1):
+                    self._print_ray_norms(step)
+
+                # signals (checked every dispatch; cheap — host-only flags)
+                if self.signals.sigusr1:
+                    try:
+                        self.save_checkpoint(step, tag=f"pause_step_{step}")
+                    except Exception as e:
+                        print(f"[PAUSE] checkpoint save failed: {e}")
+                    self.signals.sigusr1 = False
+                if self.signals.sigint:
+                    try:
+                        self.save_checkpoint(step, tag=f"interrupt_step_{step}")
+                    except Exception as e:
+                        print(f"[INT] checkpoint save failed: {e}")
+                    print("[INT] Exiting training loop.")
+                    interrupted = True
+                    break
+
+                # logging (pulls device values only here)
+                if step - last_log_step >= log_every or step == max_steps:
+                    loss_val = float(metrics["loss"])
+                    psnr_val = float(metrics["psnr"])
+                    n_skipped = int(np.sum(jax.device_get(pending_skips))) \
+                        if pending_skips else 0
+                    pending_skips.clear()
+                    if n_skipped > 0:
+                        print(f"[WARN] {n_skipped} non-finite loss step(s) since "
+                              f"the last log (ending at step {step}); those "
+                              "updates were skipped.")
+                    now = time.time()
+                    steps_delta = max(1, step - last_log_step)
+                    sec_per_step = (now - last_log_time) / steps_delta
+                    eta_window.append(sec_per_step)
+                    avg = sum(eta_window) / len(eta_window)
+                    eta_train = (max_steps - step) * avg
+                    rem_val = len(self.val_steps) - self._val_next_idx
+                    eta_total = eta_train + rem_val * self._val_avg_seconds
+                    lr_now = self.lr_info["lr"]
+                    try:
+                        from nerf_sandbox_tpu.train.step import make_lr_schedule
+                        sched = make_lr_schedule(cfg.lr_scheduler, cfg.lr,
+                                                 self.lr_info["params"])
+                        lr_now = float(sched(step - 1)) if callable(sched) else sched
+                    except Exception:
+                        pass
+                    print(f"[{step:7d}] loss={loss_val:.6f} psnr={psnr_val:.2f} "
+                          f"lr={lr_now:.2e} ({sec_per_step:.3f}s/step avg {avg:.3f}s) "
+                          f"rays/s={self.spec.rays_per_batch / max(avg, 1e-9):,.0f} "
+                          f"ETA(train) {_fmt_eta(eta_train)} | ETA(total) {_fmt_eta(eta_total)}")
+                    self.tb_logger.add_scalar("train/loss", loss_val, step)
+                    self.tb_logger.add_scalar("train/psnr", psnr_val, step)
+                    self.tb_logger.add_scalar("train/lr", float(lr_now), step)
+                    self.monitor.log_to_tb(self.tb_logger, step)
+                    last_log_time, last_log_step = now, step
+                    if self.monitor.guard(step) and self.valr.eval_chunk > 1024:
+                        # --thermal_throttle: under HBM pressure shrink the
+                        # validation render tile (reference gpu_thermal.py:69-90
+                        # raises micro-chunks when hot; this is the TPU analogue)
+                        self.valr.eval_chunk //= 2
+                        print(f"[DEVICE] validation eval tile -> "
+                              f"{self.valr.eval_chunk}")
+
+                # hierarchical-sampling health check (trainer.py:937-979 cadence)
+                if step % 500 == 0 and not occupancy:
+                    self._fine_sampling_diagnostic(step)
+
+                # scheduled validation
+                if (self._val_next_idx < len(self.val_steps)
+                        and step == self.val_steps[self._val_next_idx]):
+                    self._dispatch_validation(step)
+                    self._val_next_idx += 1
+                    if self._val_next_idx < len(self.val_steps):
+                        print(f"[VAL] next validation at step "
+                              f"{self.val_steps[self._val_next_idx]} "
+                              f"({self._val_next_idx + 1}/{len(self.val_steps)})")
+                    else:
+                        print("[VAL] schedule complete.")
+
+                if step % ckpt_every == 0:
+                    self.save_checkpoint(step)
+
+            # End-of-training checkpoint when max_steps isn't a ckpt_every
+            # multiple (divergence from the reference, which leaves such runs
+            # checkpoint-less and unable to --render_only / resume).
+            if step % ckpt_every != 0 and not interrupted:
                 self.save_checkpoint(step)
 
-        # End-of-training checkpoint when max_steps isn't a ckpt_every
-        # multiple (divergence from the reference, which leaves such runs
-        # checkpoint-less and unable to --render_only / resume).
-        if step % ckpt_every != 0 and not interrupted:
-            self.save_checkpoint(step)
-
+        except BaseException:
+            # Stop the async-val worker before propagating: a daemon
+            # thread killed mid-PNG/TB write leaves truncated artifacts
+            # with no failure report (review finding r2).
+            self._stop_async_val(discard_pending=True)
+            raise
         if profiling:
             jax.profiler.stop_trace()
 

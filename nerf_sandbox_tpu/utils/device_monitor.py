@@ -24,6 +24,7 @@ class DeviceMonitor:
         self.enable_throttle = bool(enable_throttle)
         self.check_every = max(1, int(check_every))
         self._warned = False
+        self._last_checked = None
 
     def hbm_stats(self) -> Optional[dict]:
         try:
@@ -45,9 +46,15 @@ class DeviceMonitor:
         Returns True when the device is under memory pressure (>95% HBM)
         AND throttling is enabled — the trainer responds by halving the
         validation eval tile (the TPU analogue of the reference raising
-        micro-chunks when hot).  Warns on each new pressure episode."""
-        if step % self.check_every:
+        micro-chunks when hot).  Warns on each new pressure episode.
+
+        Rate limiting is elapsed-steps based (NOT ``step % check_every`` —
+        the trainer calls guard at log boundaries, which are rarely exact
+        multiples of check_every)."""
+        if (self._last_checked is not None
+                and step - self._last_checked < self.check_every):
             return False
+        self._last_checked = step
         s = self.hbm_stats()
         if not (s and s["bytes_limit"]):
             return False

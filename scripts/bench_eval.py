@@ -170,7 +170,7 @@ def main():
         (h._replace(use_pallas=True, eval_fine_frac=0.5, eval_ert_eps=0.0),
          "fused kernel + cull 0.5"),
         (h._replace(use_pallas=True, eval_fine_frac=0.5, eval_ert_eps=1e-4),
-         "fused kernel + cull 0.5 + ERT (default)"),
+         "fused kernel + cull 0.5 + ERT (fast recipe)"),
     ]:
         results.append(_bench_variant(tr, hyper, label, n_reps=args.frames))
 

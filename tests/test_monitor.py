@@ -32,6 +32,13 @@ def test_guard_warns_per_episode(capsys):
 
 
 def test_guard_respects_cadence():
+    """Elapsed-steps rate limit: the trainer calls guard at LOG boundaries
+    (50, 150, ...), which are rarely multiples of check_every — the first
+    call must always check, later calls only after check_every steps."""
     m = _patched(DeviceMonitor(enable_throttle=True, check_every=20), 0.97)
-    assert m.guard(7) is False          # off-cadence steps skip the check
-    assert m.guard(20) is True
+    assert m.guard(7) is True           # first call always checks
+    assert m.guard(15) is False         # only 8 steps elapsed
+    assert m.guard(27) is True          # 20 elapsed since last check
+    m2 = _patched(DeviceMonitor(enable_throttle=True, check_every=20), 0.97)
+    assert m2.guard(50) is True         # --log_every 50 cadence works
+    assert m2.guard(150) is True
