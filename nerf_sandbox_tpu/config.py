@@ -216,13 +216,19 @@ class Config:
     profile_dir: Optional[str] = None  # jax.profiler trace output
 
     # Sampling strategy (new — NerfAcc-style acceleration, docs/ROADMAP.md)
-    sampling: str = "hierarchical"     # hierarchical | occupancy
+    sampling: str = "hierarchical"     # hierarchical | occupancy | proposal
     occ_res: int = 64
     occ_update_every: int = 16
     occ_decay: float = 0.95
     occ_probes: int = 64
     occ_aabb_scale: float = 1.5        # world box half-width (non-NDC)
     occ_explore_frac: float = 0.02
+    # proposal mode (mip-NeRF 360-style): a small density MLP places the
+    # main model's samples; trained with the interlevel bound loss.
+    prop_layers: int = 2
+    prop_hidden: int = 64
+    prop_samples: int = 0              # 0 -> use --nc
+    interlevel_weight: float = 1.0
 
     # Encoder family (new — BASELINE config #5 stretch)
     # positional = reference parity; hashgrid = Instant-NGP tables
@@ -367,16 +373,24 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--rads_scale", type=float, default=None)
 
     g = p.add_argument_group("sampling strategy")
-    g.add_argument("--sampling", choices=["hierarchical", "occupancy"],
+    g.add_argument("--sampling",
+                   choices=["hierarchical", "occupancy", "proposal"],
                    default=d.sampling,
                    help="occupancy: EMA density grid replaces the coarse "
-                        "NeRF pass (one model eval per step)")
+                        "NeRF pass (one model eval per step); proposal: "
+                        "small density MLP + mip-NeRF-360 interlevel loss")
     g.add_argument("--occ_res", type=int, default=d.occ_res)
     g.add_argument("--occ_update_every", type=int, default=d.occ_update_every)
     g.add_argument("--occ_decay", type=float, default=d.occ_decay)
     g.add_argument("--occ_probes", type=int, default=d.occ_probes)
     g.add_argument("--occ_aabb_scale", type=float, default=d.occ_aabb_scale)
     g.add_argument("--occ_explore_frac", type=float, default=d.occ_explore_frac)
+    g.add_argument("--prop_layers", type=int, default=d.prop_layers)
+    g.add_argument("--prop_hidden", type=int, default=d.prop_hidden)
+    g.add_argument("--prop_samples", type=int, default=d.prop_samples,
+                   help="proposal samples/ray (0 -> --nc)")
+    g.add_argument("--interlevel_weight", type=float,
+                   default=d.interlevel_weight)
 
     g = p.add_argument_group("encoder family")
     g.add_argument("--encoder", choices=["positional", "hashgrid", "kplanes"],

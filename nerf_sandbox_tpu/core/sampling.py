@@ -128,3 +128,43 @@ def sample_pdf(
 def merge_z_samples(z_coarse: jnp.ndarray, z_fine: jnp.ndarray) -> jnp.ndarray:
     """Sorted union of coarse+fine samples (trainer.py:981)."""
     return jnp.sort(jnp.concatenate([z_coarse, z_fine], axis=-1), axis=-1)
+
+
+def interlevel_loss(z_main: jnp.ndarray, w_main: jnp.ndarray,
+                    z_prop: jnp.ndarray, w_prop: jnp.ndarray) -> jnp.ndarray:
+    """Proposal (interlevel) loss of mip-NeRF 360 (Barron et al. 2022 §3).
+
+    Treats consecutive samples as interval partitions: main intervals
+    ``[z_main_i, z_main_{i+1})`` carry mass ``w_main_i`` and proposal
+    intervals ``[z_prop_j, z_prop_{j+1})`` carry mass ``w_prop_j`` (the
+    last sample of each level — the infinite bin — is dropped).  For every
+    main interval the proposal's achievable mass is upper-bounded by the
+    sum of ALL overlapping proposal-interval weights; the loss penalises
+    the proposal wherever the main histogram exceeds that bound:
+
+        bound_i = sum_j w_prop_j * 1[z_prop_j < z_main_{i+1}
+                                     and z_prop_{j+1} > z_main_i]
+        L = mean_rays sum_i max(0, w_main_i - bound_i)^2 / (w_main_i + eps)
+
+    (the mip-NeRF 360 ``lossfun_outer`` normalisation — dividing by the
+    MAIN weight keeps each term <= w_main_i <= 1; dividing by the bound
+    would explode wherever the untrained proposal has ~zero mass)
+
+    ``w_main`` must be stop-gradiented by the caller — the gradient flows
+    to the PROPOSAL through the bound (the main model is never distilled
+    toward the proposal).  Beyond-reference: the reference's hierarchical
+    sampler has no proposal network.
+
+    No gathers/sorting: the overlap test is a broadcast comparison
+    (B, Nm-1, Np-1) contracted against w_prop on the MXU — TPU-friendly
+    like sample_pdf's one-hot formulation.
+    """
+    m0, m1 = z_main[..., :-1], z_main[..., 1:]        # (B, Nm-1)
+    p0, p1 = z_prop[..., :-1], z_prop[..., 1:]        # (B, Np-1)
+    wm = w_main[..., :-1]                             # mass of finite bins
+    wp = w_prop[..., :-1]
+    overlap = ((p0[..., None, :] < m1[..., :, None])
+               & (p1[..., None, :] > m0[..., :, None]))  # (B, Nm-1, Np-1)
+    bound = jnp.einsum("bmp,bp->bm", overlap.astype(wp.dtype), wp)
+    excess = jnp.maximum(wm - bound, 0.0)
+    return jnp.mean(jnp.sum(excess ** 2 / (wm + 1e-7), axis=-1))

@@ -61,8 +61,12 @@ class EvalHyper(NamedTuple):
     enc_cfg: object = None
     # "occupancy": the params_c slot of render_tile carries the occupancy
     # GRID; all nf_eval samples are placed from it (one model eval per ray).
+    # "proposal": the params_c slot carries the small proposal MLP, whose
+    # weights place all nf_eval samples (one main-model eval per ray).
     sampling_mode: str = "hierarchical"
     occ_cfg: object = None
+    prop_model: object = None         # NeRFConfig of the proposal MLP
+    n_prop_eval: int = 64
 
 
 def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
@@ -122,6 +126,29 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
                 occ_grid, hyper.occ_cfg, rays_o, rays_d_unit, ray_norms,
                 hyper.samp_near, hyper.samp_far)
             z = jnp.sort(sample_pdf(probe_z, probe_w, hyper.nf_eval,
+                                    deterministic=True), axis=-1)
+            comp, _, acc, depth = forward(params_f, z)
+            return comp, acc, depth
+
+        if hyper.sampling_mode == "proposal":
+            # proposal MLP rides in the coarse slot; always freq-encoded XLA
+            # (tiny model — the fused kernel serves the MAIN forward below)
+            zp = jnp.broadcast_to(
+                stratified_samples(hyper.samp_near, hyper.samp_far,
+                                   hyper.n_prop_eval), (T, hyper.n_prop_eval))
+            _, w_p, _, _ = nerf_forward_pass(
+                params_c, hyper.prop_model, rays_o, rays_d_unit, zp,
+                pos_bands=pos_bands, dir_bands=dir_bands,
+                pos_include_input=hyper.pos_include_input,
+                dir_include_input=hyper.dir_include_input,
+                white_bkgd=hyper.white_bkgd, ray_norms=ray_norms,
+                viewdirs_world_unit=viewdirs,
+                sigma_activation=hyper.sigma_activation,
+                infinite_last_bin=hyper.infinite_last_bin,
+                compute_dtype=jnp.dtype(hyper.compute_dtype))
+            bins_mid = 0.5 * (zp[:, 1:] + zp[:, :-1])
+            w_bins = 0.5 * (w_p[:, 1:] + w_p[:, :-1]) + 1e-5
+            z = jnp.sort(sample_pdf(bins_mid, w_bins, hyper.nf_eval,
                                     deterministic=True), axis=-1)
             comp, _, acc, depth = forward(params_f, z)
             return comp, acc, depth

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import optax
 
 from nerf_sandbox_tpu.core.sampling import (
-    merge_z_samples, perturb_z_samples, sample_pdf, stratified_samples)
+    interlevel_loss, merge_z_samples, perturb_z_samples, sample_pdf,
+    stratified_samples)
 from nerf_sandbox_tpu.data.sampler import RayBatchSpec, SceneArrays, sample_ray_batch
 from nerf_sandbox_tpu.models.forward import nerf_forward_pass
 from nerf_sandbox_tpu.models.mlp import NeRFConfig
@@ -54,8 +55,14 @@ class TrainHyper(NamedTuple):
     compute_dtype: str = "bfloat16"   # MLP matmul dtype (AMP-equivalent)
     pos_encoder: str = "freq"         # "freq" | "hashgrid" | "kplanes"
     enc_cfg: Any = None               # HashGridConfig | KPlanesConfig
-    sampling_mode: str = "hierarchical"   # "hierarchical" | "occupancy"
+    sampling_mode: str = "hierarchical"   # "hierarchical" | "occupancy" | "proposal"
     occ_cfg: Any = None               # OccupancyConfig (hashable NamedTuple)
+    # proposal mode (mip-NeRF 360-style): a small density MLP in the
+    # params_c slot places the main model's samples; trained with the
+    # interlevel bound loss (core/sampling.py:interlevel_loss).
+    prop_model: Any = None            # NeRFConfig of the proposal MLP
+    n_prop: int = 64                  # proposal samples per ray
+    interlevel_weight: float = 1.0
 
 
 class TrainState(NamedTuple):
@@ -138,6 +145,14 @@ def init_train_state(key: jax.Array, hyper: TrainHyper, tx, *,
         from nerf_sandbox_tpu.models.kplanes import init_kplanes_params
         params_c["pos_grid"] = init_kplanes_params(kgc, hyper.enc_cfg)
         params_f["pos_grid"] = init_kplanes_params(kgf, hyper.enc_cfg)
+    if hyper.sampling_mode == "proposal":
+        # the coarse slot carries the small proposal MLP instead of a full
+        # coarse NeRF; it is always freq-encoded (grid encoders apply to
+        # the MAIN model only — the proposal needs coarse density, not
+        # high-frequency detail)
+        params_c = init_nerf_params(kc, hyper.prop_model, near=near, far=far,
+                                    initial_acc_opacity=initial_acc_opacity,
+                                    sigma_activation=hyper.sigma_activation)
     if hyper.sampling_mode == "occupancy":
         # no coarse model in occupancy mode: the grid rides in the coarse
         # slot at eval time; an empty pytree avoids dead params/opt-state/
@@ -184,6 +199,64 @@ def _occupancy_loss(params_f, occ_grid, batch, key, hyper: TrainHyper,
     target = jnp.clip(jnp.nan_to_num(batch["rgb"]), 0.0, 1.0)
     loss_f = jnp.mean((comp_f - target) ** 2)
     return jnp.zeros_like(loss_f), loss_f
+
+
+def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
+                   pos_bands, dir_bands):
+    """Proposal-mode loss (mip-NeRF 360-style, beyond-reference).
+
+    A small freq-encoded density MLP (``params_p``, the coarse slot)
+    places ALL of the main model's samples; the proposal trains against
+    the interlevel bound of the main histogram, the main model against
+    MSE. Returns (interlevel_loss, mse_f) — the total is formed by the
+    caller as mse + interlevel_weight * il.
+    """
+    B = batch["rgb"].shape[0]
+    k_perturb, k_pdf, k_noise = jax.random.split(key, 3)
+
+    z_tmpl = stratified_samples(hyper.samp_near, hyper.samp_far, hyper.n_prop)
+    zp = perturb_z_samples(k_perturb,
+                           jnp.broadcast_to(z_tmpl, (B, hyper.n_prop)))
+
+    # proposal forward: no sigma-noise (density guide, not a radiance fit)
+    _, w_p, _, _ = nerf_forward_pass(
+        params_p, hyper.prop_model, batch["rays_o_marching"],
+        batch["rays_d_marching_unit"], zp,
+        pos_bands=pos_bands, dir_bands=dir_bands,
+        pos_include_input=hyper.pos_include_input,
+        dir_include_input=hyper.dir_include_input,
+        white_bkgd=hyper.white_bkgd,
+        ray_norms=batch["rays_d_marching_norm"],
+        viewdirs_world_unit=batch["rays_d_world_unit"],
+        sigma_activation=hyper.sigma_activation,
+        infinite_last_bin=hyper.infinite_last_bin,
+        compute_dtype=jnp.dtype(hyper.compute_dtype))
+
+    bins_mid = 0.5 * (zp[:, 1:] + zp[:, :-1])
+    w_bins = jax.lax.stop_gradient(0.5 * (w_p[:, 1:] + w_p[:, :-1])) + 1e-5
+    zf = sample_pdf(bins_mid, w_bins, hyper.nf, key=k_pdf,
+                    deterministic=hyper.det_fine)
+    z = jnp.sort(jax.lax.stop_gradient(zf), axis=-1)
+
+    comp_f, w_f, _, _ = nerf_forward_pass(
+        params_f, hyper.model, batch["rays_o_marching"],
+        batch["rays_d_marching_unit"], z,
+        pos_bands=pos_bands, dir_bands=dir_bands,
+        pos_include_input=hyper.pos_include_input,
+        dir_include_input=hyper.dir_include_input,
+        white_bkgd=hyper.white_bkgd,
+        ray_norms=batch["rays_d_marching_norm"],
+        viewdirs_world_unit=batch["rays_d_world_unit"],
+        sigma_activation=hyper.sigma_activation,
+        raw_noise_std=hyper.raw_noise_std, noise_key=k_noise,
+        infinite_last_bin=hyper.infinite_last_bin,
+        compute_dtype=jnp.dtype(hyper.compute_dtype),
+        pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg)
+
+    target = jnp.clip(jnp.nan_to_num(batch["rgb"]), 0.0, 1.0)
+    mse_f = jnp.mean((comp_f - target) ** 2)
+    il = interlevel_loss(z, jax.lax.stop_gradient(w_f), zp, w_p)
+    return il, mse_f
 
 
 def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
@@ -290,7 +363,30 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
                                     hyper, pos_bands, dir_bands)
         return lf, lf
 
+    def prop_loss_fn(params_cf, batch, key):
+        if hyper.micro_chunks and hyper.micro_chunks > 1:
+            m = hyper.micro_chunks
+            B = batch["rgb"].shape[0]
+            assert B % m == 0, f"batch {B} not divisible by micro_chunks {m}"
+            chunked = jax.tree_util.tree_map(
+                lambda x: x.reshape(m, B // m, *x.shape[1:]), batch)
+            keys = jax.random.split(key, m)
+
+            def body(acc, xs):
+                sub_batch, k = xs
+                il, lf = _proposal_loss(params_cf["c"], params_cf["f"],
+                                        sub_batch, k, hyper, pos_bands,
+                                        dir_bands)
+                return (acc[0] + il / m, acc[1] + lf / m), None
+
+            (il, lf), _ = jax.lax.scan(body, (0.0, 0.0), (chunked, keys))
+        else:
+            il, lf = _proposal_loss(params_cf["c"], params_cf["f"], batch,
+                                    key, hyper, pos_bands, dir_bands)
+        return lf + hyper.interlevel_weight * il, lf
+
     occupancy = hyper.sampling_mode == "occupancy"
+    proposal = hyper.sampling_mode == "proposal"
 
     def step_core(state: TrainState, scene: SceneArrays, occ_grid=None):
         step = state.step + 1                          # 1-based, like the loop
@@ -305,6 +401,10 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
                 occ_loss_fn, has_aux=True)(
                 {"c": state.params_c, "f": state.params_f}, batch, k_loss,
                 occ_grid)
+        elif proposal:
+            (loss, mse_f), grads = jax.value_and_grad(
+                prop_loss_fn, has_aux=True)(
+                {"c": state.params_c, "f": state.params_f}, batch, k_loss)
         else:
             (loss, mse_f), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 {"c": state.params_c, "f": state.params_f}, batch, k_loss)

@@ -206,6 +206,26 @@ class Trainer:
             print(f"[occ] grid {cfg.occ_res}^3 over {lo}..{hi}, "
                   f"update every {cfg.occ_update_every} steps")
 
+        # ---- proposal mode (mip-NeRF 360-style, beyond-reference) ----
+        self.prop_model = None
+        n_prop = 0
+        if self.sampling_mode == "proposal":
+            # proposal MLP is always freq-encoded (vanilla enc dims) — the
+            # main model keeps whatever encoder family was selected
+            prop_layers = int(getattr(cfg, "prop_layers", 2))
+            self.prop_model = NeRFConfig(
+                enc_pos_dim=encoder_out_dim(3, cfg.pos_num_freqs,
+                                            cfg.pos_include_input),
+                enc_dir_dim=enc_dir_dim,
+                n_layers=prop_layers,
+                hidden_dim=int(getattr(cfg, "prop_hidden", 64)),
+                skip_pos=max(1, min(prop_layers - 1, prop_layers // 2)))
+            n_prop = int(getattr(cfg, "prop_samples", 0) or 0) or int(cfg.nc)
+            print(f"[proposal] {self.prop_model.n_layers}x"
+                  f"{self.prop_model.hidden_dim} density MLP, "
+                  f"{n_prop} proposal samples/ray, interlevel weight "
+                  f"{getattr(cfg, 'interlevel_weight', 1.0)}")
+
         # ---- train hyper + optimizer + state ----
         self.hyper = TrainHyper(
             model=self.model_cfg, nc=cfg.nc, nf=cfg.nf, det_fine=cfg.det_fine,
@@ -218,7 +238,9 @@ class Trainer:
             dir_include_input=cfg.dir_include_input,
             compute_dtype=str(cfg.compute_dtype),
             pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
-            sampling_mode=self.sampling_mode, occ_cfg=self.occ_cfg)
+            sampling_mode=self.sampling_mode, occ_cfg=self.occ_cfg,
+            prop_model=self.prop_model, n_prop=n_prop,
+            interlevel_weight=float(getattr(cfg, "interlevel_weight", 1.0)))
 
         sched_params = dict(cfg.lr_scheduler_params or {})
         sched_params.setdefault("T_max", cfg.max_steps)
@@ -271,7 +293,9 @@ class Trainer:
             eval_fine_frac=float(getattr(cfg, "eval_fine_frac", 1.0)),
             eval_ert_eps=float(getattr(cfg, "eval_ert_eps", 0.0)),
             pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
-            sampling_mode=self.sampling_mode, occ_cfg=self.occ_cfg)
+            sampling_mode=self.sampling_mode, occ_cfg=self.occ_cfg,
+            prop_model=self.prop_model,
+            n_prop_eval=(n_prop or 64))
         self.render_tile = make_tile_renderer(
             self.eval_hyper, self.pos_bands, self.dir_bands, plan=self.plan)
 
@@ -751,7 +775,9 @@ class Trainer:
                               f"{self.valr.eval_chunk}")
 
                 # hierarchical-sampling health check (trainer.py:937-979 cadence)
-                if step % 500 == 0 and not occupancy:
+                if step % 500 == 0 and self.sampling_mode == "hierarchical":
+                    # only the hierarchical mode has a coarse NeRF whose
+                    # weights this diagnostic interprets
                     self._fine_sampling_diagnostic(step)
 
                 # scheduled validation
