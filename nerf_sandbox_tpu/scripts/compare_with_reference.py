@@ -311,6 +311,120 @@ def main(argv=None):
         float(np.abs(my_img["depth"] - ref_img["depth"].numpy()).max()),
         ok=5e-3, warn=5e-2))
 
+    # ---------------- 8. validation-schedule parity ----------------
+    print("[8] validation-schedule parity (fixed + power-law)")
+    try:
+        from nerf_sandbox.source.utils.validation_schedule import (
+            build_validation_steps as ref_sched)
+        from nerf_sandbox_tpu.train.schedule import (
+            build_validation_steps as my_sched)
+        mism, n_cfg = 0.0, 0
+        for kw in ({"base_every": 500}, {"base_every": 7},
+                   {"num_val_steps": 10},
+                   {"num_val_steps": 100, "power": 2.0},
+                   {"num_val_steps": 7, "power": 1.0},
+                   {"num_val_steps": 9, "power": 3.5},
+                   {"num_val_steps": 100000, "power": 2.0}):
+            for S in (37, 1000, 50000):
+                if ref_sched(S, **kw) != my_sched(S, **kw):
+                    mism += 1.0
+                n_cfg += 1
+        results.append(_grade(f"validation schedule ({n_cfg} configs, "
+                              "exact list equality)", mism, ok=0.0))
+    except Exception as e:
+        print(f"  [FAIL] schedule parity errored: {e}")
+        results.append({"name": "validation schedule", "max_abs_diff": 1.0,
+                        "status": "FAIL"})
+
+    # ---------------- 9. camera-path pose parity ----------------
+    print("[9] camera-path pose parity (blender spherical + llff spiral)")
+    try:
+        from nerf_sandbox.source.utils.path_pose_generator import (
+            PathPoseGenerator as RefGen)
+        from nerf_sandbox_tpu.render.path_poses import generate_path_poses
+        gen = RefGen()
+        rp, rH, rW, rK = gen.generate(ref_scene, 24, path_type="blender",
+                                      bl_phi_deg=-25.0, bl_rots=1.5,
+                                      bl_theta_start_deg=-170.0,
+                                      res_scale=0.5)
+        mp, mH, mW, mK = generate_path_poses(my_scene, 24,
+                                             path_type="blender",
+                                             bl_phi_deg=-25.0, bl_rots=1.5,
+                                             bl_theta_start_deg=-170.0,
+                                             res_scale=0.5)
+        assert (rH, rW) == (mH, mW), f"H/W mismatch {(rH, rW)} vs {(mH, mW)}"
+        dpos = max(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                   for a, b in zip(rp, mp))
+        results.append(_grade("blender spherical path poses (24 frames)",
+                              max(dpos,
+                                  float(np.abs(np.asarray(rK)
+                                               - np.asarray(mK)).max())),
+                              ok=1e-5))
+
+        rp, _, _, _ = gen.generate(ref_tr, 12, path_type="llff_spiral",
+                                   data_root=llff_root, rots=2.0, zrate=0.5)
+        mp, _, _, _ = generate_path_poses(my_tr, 12, path_type="llff_spiral",
+                                          data_root=llff_root, rots=2.0,
+                                          zrate=0.5)
+        dpos = max(float(np.abs(np.asarray(a)[:3] - np.asarray(b)[:3]).max())
+                   for a, b in zip(rp, mp))
+        results.append(_grade("llff spiral path poses (12 frames)", dpos,
+                              ok=1e-4))
+    except Exception as e:
+        print(f"  [FAIL] path-pose parity errored: {e}")
+        results.append({"name": "path poses", "max_abs_diff": 1.0,
+                        "status": "FAIL"})
+
+    # ---------------- 10. vanilla-profile parity ----------------
+    print("[10] vanilla-profile parity (blender + llff knob-for-knob)")
+    try:
+        from types import SimpleNamespace
+        from nerf_sandbox.source.scripts.train_nerf import (
+            apply_vanilla_profile as ref_vanilla, build_argparser as ref_ap)
+        from nerf_sandbox_tpu.config import (apply_vanilla_profile,
+                                             build_argparser,
+                                             make_cfg_from_args)
+        # Documented divergences (docs/ROADMAP.md): the reference's profile
+        # writes several knobs via getattr(cfg, knob, default) on attributes
+        # argparse ALWAYS sets — dead defaults. Its EFFECTIVE blender-vanilla
+        # N_rand is therefore 2048 (docstring says 1024) and LLFF-vanilla
+        # runs with NO precrop (docstring says 1000@0.5). This repo
+        # implements the documented bmild-faithful values.
+        known = {("blender", "rays_per_batch"), ("llff", "rays_per_batch"),
+                 ("llff", "precrop_iters"), ("llff", "precrop_frac")}
+        mism, expected = [], []
+        for kind in ("blender", "llff"):
+            ref_cfg = SimpleNamespace(**vars(ref_ap().parse_args(
+                ["--data_kind", kind, "--data_root", "/x", "--out_dir", "/y",
+                 "--vanilla"])))
+            ref_vanilla(ref_cfg)
+            my_cfg = make_cfg_from_args(build_argparser().parse_args(
+                ["--data_kind", kind, "--data_root", "/x", "--out_dir", "/y",
+                 "--vanilla"]))
+            my_cfg = apply_vanilla_profile(my_cfg)
+            for knob in ("use_ndc", "white_bkgd", "sample_from_single_frame",
+                         "precrop_iters", "precrop_frac", "pos_num_freqs",
+                         "dir_num_freqs", "n_layers", "hidden_dim",
+                         "skip_pos", "nc", "nf", "rays_per_batch",
+                         "raw_noise_std", "lr", "infinite_last_bin",
+                         "sigma_activation"):
+                rv, mv = getattr(ref_cfg, knob), getattr(my_cfg, knob)
+                if rv != mv:
+                    (expected if (kind, knob) in known else mism).append(
+                        f"{kind}.{knob}: ref={rv} mine={mv}")
+        if expected:
+            print(f"         documented divergences (reference dead-getattr "
+                  f"profile lines): {expected}")
+        if mism:
+            print(f"         UNEXPECTED mismatches: {mism}")
+        results.append(_grade("vanilla profile (2 kinds x 17 knobs, 4 "
+                              "documented divergences)",
+                              float(len(mism)), ok=0.0))
+    except Exception as e:
+        print(f"  [FAIL] vanilla-profile parity errored: {e}")
+        results.append({"name": "vanilla profile", "max_abs_diff": 1.0,
+                        "status": "FAIL"})
+
     # ---------------- report ----------------
     n_fail = sum(r["status"] == "FAIL" for r in results)
     n_warn = sum(r["status"] == "WARN" for r in results)
