@@ -130,6 +130,22 @@ def merge_z_samples(z_coarse: jnp.ndarray, z_fine: jnp.ndarray) -> jnp.ndarray:
     return jnp.sort(jnp.concatenate([z_coarse, z_fine], axis=-1), axis=-1)
 
 
+def resample_midpoints(z: jnp.ndarray, w: jnp.ndarray, n: int, *,
+                       key=None, deterministic: bool = False,
+                       stop_grad: bool = True) -> jnp.ndarray:
+    """Fine z's from a coarse pass's per-sample weights — the caller-side
+    convention around ``sample_pdf`` (trainer.py:926-934): bins are the z
+    midpoints, bin weights the averaged interval weights, detached, +1e-5
+    floor.  One place for the convention (used by the hierarchical train
+    step, proposal mode, eval renderer, and diagnostics)."""
+    mids = 0.5 * (z[..., 1:] + z[..., :-1])
+    wb = 0.5 * (w[..., 1:] + w[..., :-1])
+    if stop_grad:
+        wb = jax.lax.stop_gradient(wb)
+    return sample_pdf(mids, wb + 1e-5, n, key=key,
+                      deterministic=deterministic)
+
+
 def interlevel_loss(z_main: jnp.ndarray, w_main: jnp.ndarray,
                     z_prop: jnp.ndarray, w_prop: jnp.ndarray) -> jnp.ndarray:
     """Proposal (interlevel) loss of mip-NeRF 360 (Barron et al. 2022 §3).
@@ -165,6 +181,10 @@ def interlevel_loss(z_main: jnp.ndarray, w_main: jnp.ndarray,
     wp = w_prop[..., :-1]
     overlap = ((p0[..., None, :] < m1[..., :, None])
                & (p1[..., None, :] > m0[..., :, None]))  # (B, Nm-1, Np-1)
-    bound = jnp.einsum("bmp,bp->bm", overlap.astype(wp.dtype), wp)
+    # HIGHEST like every weight-processing einsum here: the TPU's bf16
+    # default would put ~0.5% noise in the bound — spurious hinge excess
+    # exactly where the proposal is nearly converged (wm ≈ bound).
+    bound = jnp.einsum("bmp,bp->bm", overlap.astype(wp.dtype), wp,
+                       precision=jax.lax.Precision.HIGHEST)
     excess = jnp.maximum(wm - bound, 0.0)
     return jnp.mean(jnp.sum(excess ** 2 / (wm + 1e-7), axis=-1))

@@ -23,7 +23,8 @@ import numpy as np
 
 from nerf_sandbox_tpu.core.rays import get_camera_rays_grid
 from nerf_sandbox_tpu.core.sampling import (
-    merge_z_samples, perturb_z_samples, sample_pdf, stratified_samples)
+    merge_z_samples, perturb_z_samples, resample_midpoints, sample_pdf,
+    stratified_samples)
 from nerf_sandbox_tpu.models.forward import nerf_forward_pass
 from nerf_sandbox_tpu.models.mlp import NeRFConfig
 from nerf_sandbox_tpu.parallel.mesh import MeshPlan, shard_batch_constraint
@@ -132,7 +133,8 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
 
         if hyper.sampling_mode == "proposal":
             # proposal MLP rides in the coarse slot; always freq-encoded XLA
-            # (tiny model — the fused kernel serves the MAIN forward below)
+            # (tiny model — the fused kernel serves the MAIN forward below).
+            # Only w_p is consumed → XLA DCEs the color branch under jit.
             zp = jnp.broadcast_to(
                 stratified_samples(hyper.samp_near, hyper.samp_far,
                                    hyper.n_prop_eval), (T, hyper.n_prop_eval))
@@ -146,10 +148,8 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
                 sigma_activation=hyper.sigma_activation,
                 infinite_last_bin=hyper.infinite_last_bin,
                 compute_dtype=jnp.dtype(hyper.compute_dtype))
-            bins_mid = 0.5 * (zp[:, 1:] + zp[:, :-1])
-            w_bins = 0.5 * (w_p[:, 1:] + w_p[:, :-1]) + 1e-5
-            z = jnp.sort(sample_pdf(bins_mid, w_bins, hyper.nf_eval,
-                                    deterministic=True), axis=-1)
+            z = jnp.sort(resample_midpoints(zp, w_p, hyper.nf_eval,
+                                            deterministic=True), axis=-1)
             comp, _, acc, depth = forward(params_f, z)
             return comp, acc, depth
 
@@ -176,10 +176,8 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
             rn_s, vd_s = ray_norms[top], viewdirs[top]
             z_s, w_s = z[top], w_c[top]
 
-            bins_mid = 0.5 * (z_s[:, 1:] + z_s[:, :-1])
-            w_bins = 0.5 * (w_s[:, 1:] + w_s[:, :-1]) + 1e-5
-            zf = sample_pdf(bins_mid, w_bins, hyper.nf_eval,
-                            deterministic=True)
+            zf = resample_midpoints(z_s, w_s, hyper.nf_eval,
+                                    deterministic=True)
             z_all = merge_z_samples(z_s, zf)
             comp_s, _, acc_s, depth_s = forward_rays(params_f, ro_s, rd_s,
                                                      rn_s, vd_s, z_all)
@@ -188,9 +186,7 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
             depth_f = depth_c.at[top].set(depth_s)
             return comp_f, acc_f, depth_f
 
-        bins_mid = 0.5 * (z[:, 1:] + z[:, :-1])
-        w_bins = 0.5 * (w_c[:, 1:] + w_c[:, :-1]) + 1e-5
-        zf = sample_pdf(bins_mid, w_bins, hyper.nf_eval, deterministic=True)
+        zf = resample_midpoints(z, w_c, hyper.nf_eval, deterministic=True)
         z_all = merge_z_samples(z, zf)
 
         comp_f, _, acc_f, depth_f = forward(params_f, z_all)

@@ -121,6 +121,7 @@ def main(argv=None):
 
     # ---------------- 1b. LLFF loader parity ----------------
     print("[1b] loader parity (LLFF: scale, recenter, holdout, near/far)")
+    llff_root = ref_tr = my_tr = None       # also consumed by check 9
     try:
         from nerf_sandbox.source.data.loaders.llff_loader import (
             LLFFSceneLoader as RefLLFF)
@@ -361,6 +362,8 @@ def main(argv=None):
                                                - np.asarray(mK)).max())),
                               ok=1e-5))
 
+        if llff_root is None:
+            raise RuntimeError("check 1b failed — no LLFF scene to reuse")
         rp, _, _, _ = gen.generate(ref_tr, 12, path_type="llff_spiral",
                                    data_root=llff_root, rots=2.0, zrate=0.5)
         mp, _, _, _ = generate_path_poses(my_tr, 12, path_type="llff_spiral",

@@ -28,8 +28,8 @@ import jax.numpy as jnp
 import optax
 
 from nerf_sandbox_tpu.core.sampling import (
-    interlevel_loss, merge_z_samples, perturb_z_samples, sample_pdf,
-    stratified_samples)
+    interlevel_loss, merge_z_samples, perturb_z_samples,
+    resample_midpoints, sample_pdf, stratified_samples)
 from nerf_sandbox_tpu.data.sampler import RayBatchSpec, SceneArrays, sample_ray_batch
 from nerf_sandbox_tpu.models.forward import nerf_forward_pass
 from nerf_sandbox_tpu.models.mlp import NeRFConfig
@@ -131,33 +131,38 @@ def init_train_state(key: jax.Array, hyper: TrainHyper, tx, *,
                      initial_acc_opacity: float | None = None) -> TrainState:
     from nerf_sandbox_tpu.models.mlp import init_nerf_params
     kc, kf, kgc, kgf = jax.random.split(key, 4)
-    params_c = init_nerf_params(kc, hyper.model, near=near, far=far,
-                                initial_acc_opacity=initial_acc_opacity,
-                                sigma_activation=hyper.sigma_activation)
     params_f = init_nerf_params(kf, hyper.model, near=near, far=far,
                                 initial_acc_opacity=initial_acc_opacity,
                                 sigma_activation=hyper.sigma_activation)
     if hyper.pos_encoder == "hashgrid":
         from nerf_sandbox_tpu.models.hashgrid import init_hash_tables
-        params_c["pos_grid"] = init_hash_tables(kgc, hyper.enc_cfg)
         params_f["pos_grid"] = init_hash_tables(kgf, hyper.enc_cfg)
     elif hyper.pos_encoder == "kplanes":
         from nerf_sandbox_tpu.models.kplanes import init_kplanes_params
-        params_c["pos_grid"] = init_kplanes_params(kgc, hyper.enc_cfg)
         params_f["pos_grid"] = init_kplanes_params(kgf, hyper.enc_cfg)
+
+    # The coarse slot depends on the sampling mode — only hierarchical has
+    # a full coarse NeRF (+ its grid tables); building one just to discard
+    # it would waste a 16MB+ hash-table init in the other modes.
     if hyper.sampling_mode == "proposal":
-        # the coarse slot carries the small proposal MLP instead of a full
-        # coarse NeRF; it is always freq-encoded (grid encoders apply to
+        # small proposal MLP, always freq-encoded (grid encoders apply to
         # the MAIN model only — the proposal needs coarse density, not
         # high-frequency detail)
         params_c = init_nerf_params(kc, hyper.prop_model, near=near, far=far,
                                     initial_acc_opacity=initial_acc_opacity,
                                     sigma_activation=hyper.sigma_activation)
-    if hyper.sampling_mode == "occupancy":
-        # no coarse model in occupancy mode: the grid rides in the coarse
-        # slot at eval time; an empty pytree avoids dead params/opt-state/
-        # checkpoint weight (notably a 16MB+ unused hash table)
+    elif hyper.sampling_mode == "occupancy":
+        # no coarse model: the grid rides in the coarse slot at eval time;
+        # an empty pytree avoids dead params/opt-state/checkpoint weight
         params_c = {}
+    else:
+        params_c = init_nerf_params(kc, hyper.model, near=near, far=far,
+                                    initial_acc_opacity=initial_acc_opacity,
+                                    sigma_activation=hyper.sigma_activation)
+        if hyper.pos_encoder == "hashgrid":
+            params_c["pos_grid"] = init_hash_tables(kgc, hyper.enc_cfg)
+        elif hyper.pos_encoder == "kplanes":
+            params_c["pos_grid"] = init_kplanes_params(kgc, hyper.enc_cfg)
     opt_state = tx.init({"c": params_c, "f": params_f})
     return TrainState(step=jnp.int32(0), params_c=params_c, params_f=params_f,
                       opt_state=opt_state)
@@ -218,7 +223,10 @@ def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
     zp = perturb_z_samples(k_perturb,
                            jnp.broadcast_to(z_tmpl, (B, hyper.n_prop)))
 
-    # proposal forward: no sigma-noise (density guide, not a radiance fit)
+    # proposal forward: no sigma-noise (density guide, not a radiance fit).
+    # Only the weights are consumed, so XLA dead-code-eliminates the color
+    # branch (dir encoding + color head + composite) from the jitted step —
+    # this is effectively a density-only forward without a second code path.
     _, w_p, _, _ = nerf_forward_pass(
         params_p, hyper.prop_model, batch["rays_o_marching"],
         batch["rays_d_marching_unit"], zp,
@@ -232,10 +240,8 @@ def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype))
 
-    bins_mid = 0.5 * (zp[:, 1:] + zp[:, :-1])
-    w_bins = jax.lax.stop_gradient(0.5 * (w_p[:, 1:] + w_p[:, :-1])) + 1e-5
-    zf = sample_pdf(bins_mid, w_bins, hyper.nf, key=k_pdf,
-                    deterministic=hyper.det_fine)
+    zf = resample_midpoints(zp, w_p, hyper.nf, key=k_pdf,
+                            deterministic=hyper.det_fine)
     z = jnp.sort(jax.lax.stop_gradient(zf), axis=-1)
 
     comp_f, w_f, _, _ = nerf_forward_pass(
@@ -286,10 +292,8 @@ def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
                             noise_key=k_noise_c)
 
     # Fine sampling from detached interval weights (trainer.py:926-934).
-    bins_mid = 0.5 * (zc[:, 1:] + zc[:, :-1])
-    w_bins = jax.lax.stop_gradient(0.5 * (w_c[:, 1:] + w_c[:, :-1])) + 1e-5
-    zf = sample_pdf(bins_mid, w_bins, hyper.nf, key=k_pdf,
-                    deterministic=hyper.det_fine)
+    zf = resample_midpoints(zc, w_c, hyper.nf, key=k_pdf,
+                            deterministic=hyper.det_fine)
     z_all = merge_z_samples(zc, jax.lax.stop_gradient(zf))
 
     comp_f, _, _, _ = fwd(params_f, hyper.model, batch["rays_o_marching"],

@@ -212,19 +212,19 @@ class Trainer:
         if self.sampling_mode == "proposal":
             # proposal MLP is always freq-encoded (vanilla enc dims) — the
             # main model keeps whatever encoder family was selected
-            prop_layers = int(getattr(cfg, "prop_layers", 2))
+            prop_layers = int(cfg.prop_layers)
             self.prop_model = NeRFConfig(
                 enc_pos_dim=encoder_out_dim(3, cfg.pos_num_freqs,
                                             cfg.pos_include_input),
                 enc_dir_dim=enc_dir_dim,
                 n_layers=prop_layers,
-                hidden_dim=int(getattr(cfg, "prop_hidden", 64)),
+                hidden_dim=int(cfg.prop_hidden),
                 skip_pos=max(1, min(prop_layers - 1, prop_layers // 2)))
-            n_prop = int(getattr(cfg, "prop_samples", 0) or 0) or int(cfg.nc)
+            n_prop = int(cfg.prop_samples) or int(cfg.nc)
             print(f"[proposal] {self.prop_model.n_layers}x"
                   f"{self.prop_model.hidden_dim} density MLP, "
                   f"{n_prop} proposal samples/ray, interlevel weight "
-                  f"{getattr(cfg, 'interlevel_weight', 1.0)}")
+                  f"{cfg.interlevel_weight}")
 
         # ---- train hyper + optimizer + state ----
         self.hyper = TrainHyper(
@@ -240,7 +240,7 @@ class Trainer:
             pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
             sampling_mode=self.sampling_mode, occ_cfg=self.occ_cfg,
             prop_model=self.prop_model, n_prop=n_prop,
-            interlevel_weight=float(getattr(cfg, "interlevel_weight", 1.0)))
+            interlevel_weight=float(cfg.interlevel_weight))
 
         sched_params = dict(cfg.lr_scheduler_params or {})
         sched_params.setdefault("T_max", cfg.max_steps)
