@@ -205,6 +205,12 @@ class Trainer:
             self.occ_grid = init_occupancy_grid(self.occ_cfg)
             print(f"[occ] grid {cfg.occ_res}^3 over {lo}..{hi}, "
                   f"update every {cfg.occ_update_every} steps")
+            if self.use_ndc:
+                print("[occ] note: occupancy sampling measurably "
+                      "underperforms hierarchical on forward-facing NDC "
+                      "scenes (thin far-plane content loses grid coverage "
+                      "— RESULTS.md); prefer the default hierarchical "
+                      "sampling for LLFF")
 
         # ---- proposal mode (mip-NeRF 360-style, beyond-reference) ----
         self.prop_model = None
