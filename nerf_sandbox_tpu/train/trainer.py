@@ -196,12 +196,24 @@ class Trainer:
             else:
                 s = float(cfg.occ_aabb_scale)
                 lo, hi = (-s, -s, -s), (s, s, s)
+            explore = float(cfg.occ_explore_frac)
+            if self.use_ndc and explore == 0.02:
+                # NDC scenes keep thin content at the far plane in a
+                # sub-cell shell; a cell that loses its occupancy mark then
+                # never re-learns it. A large uniform floor recovers most
+                # of the gap (measured 22.3 -> 26.2 dB @3k on the LLFF
+                # sphere scene, RESULTS.md) while keeping the grid's
+                # concentration benefit.
+                explore = 0.5
+                print("[occ] NDC: occ_explore_frac defaulted to 0.5 "
+                      "(far-plane bootstrap; override with "
+                      "--occ_explore_frac)")
             self.occ_cfg = OccupancyConfig(
                 resolution=int(cfg.occ_res), lo=lo, hi=hi,
                 decay=float(cfg.occ_decay),
                 update_every=int(cfg.occ_update_every),
                 n_probes=int(cfg.occ_probes),
-                explore_frac=float(cfg.occ_explore_frac))
+                explore_frac=explore)
             self.occ_grid = init_occupancy_grid(self.occ_cfg)
             print(f"[occ] grid {cfg.occ_res}^3 over {lo}..{hi}, "
                   f"update every {cfg.occ_update_every} steps")
