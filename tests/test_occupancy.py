@@ -183,3 +183,25 @@ def test_rebuild_equals_density_field():
     # ones-init carries a stale 0.95 floor; zero-init equals pure density
     assert float(rebuilt.min()) < float(ones_once.min())
     assert float(rebuilt.max()) > 0.0
+
+def test_ndc_explore_floor_default(tmp_path):
+    """Under NDC the trainer defaults occ_explore_frac 0.02 -> 0.5 (far-
+    plane bootstrap, RESULTS.md); an explicit flag value is respected."""
+    from tests.test_loaders import _make_llff
+    from nerf_sandbox_tpu.config import (apply_path_defaults,
+                                         build_argparser, make_cfg_from_args)
+    from nerf_sandbox_tpu.train.trainer import Trainer
+    root = _make_llff(tmp_path / "fern", n=5, H=12, W=16)
+    base = ["--data_root", str(root), "--out_dir", str(tmp_path / "e"),
+            "--data_kind", "llff", "--use_ndc", "--sampling", "occupancy",
+            "--occ_res", "8", "--occ_probes", "8", "--n_layers", "2",
+            "--hidden_dim", "32", "--skip_pos", "1", "--nc", "4", "--nf", "8",
+            "--rays_per_batch", "32", "--eval_chunk", "128"]
+    def mk(argv):
+        return apply_path_defaults(
+            make_cfg_from_args(build_argparser().parse_args(argv)), "llff")
+
+    tr = Trainer(mk(base))
+    assert tr.occ_cfg.explore_frac == 0.5
+    tr2 = Trainer(mk(base + ["--occ_explore_frac", "0.1"]))
+    assert tr2.occ_cfg.explore_frac == 0.1
