@@ -6,10 +6,11 @@ Measures the reference ``render_image_chunked`` role
 and occupancy-mode eval.  Uses a TRAINED checkpoint (opacity distribution
 drives culling/ERT, so random params would lie).
 
-Tunnel honesty: every rendered frame uses a different camera pose (the
-axon tunnel fabricates timings for repeat executions of identical
-programs+args), and the host np.asarray pull in render_pose is the
-execution barrier.
+Tunnel honesty: a frame is ONE jitted fori_loop over all of its tiles
+with outputs chained into the next tile's origins (single dispatch — the
+tunnel's per-call latency jitter and repeat-execution fabrication cannot
+skew it); the execution barrier is a float() scalar pull, and reps use
+distinct inputs.
 
 Usage:
   python scripts/bench_eval.py --ckpt_dir /tmp/bench_ckpt --data_root /tmp/spheres_v
