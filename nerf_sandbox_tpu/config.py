@@ -227,10 +227,10 @@ class Config:
     # main model's samples; trained with the interlevel bound loss.
     prop_layers: int = 2
     prop_hidden: int = 64
-    # 128 measured +0.5 dB over nc=64 on the sphere scene (a denser
-    # proposal histogram places the main samples better; the proposal MLP
-    # is tiny so the extra evals are cheap). 0 -> use --nc.
-    prop_samples: int = 128
+    # 0 -> use --nc. Scene-dependent (measured @3k on the synthetic
+    # scenes): blender-style prefers 128 (+0.5 dB over 64), forward-facing
+    # LLFF prefers 64 (128 costs 1.5 dB) — RESULTS.md.
+    prop_samples: int = 0
     interlevel_weight: float = 1.0
 
     # Encoder family (new — BASELINE config #5 stretch)
