@@ -222,7 +222,9 @@ class Config:
     occ_decay: float = 0.95
     occ_probes: int = 64
     occ_aabb_scale: float = 1.5        # world box half-width (non-NDC)
-    occ_explore_frac: float = 0.02
+    # None = auto: 0.02 in world space, 0.5 under NDC (far-plane bootstrap
+    # — RESULTS.md). An explicit value is always respected.
+    occ_explore_frac: Optional[float] = None
     # proposal mode (mip-NeRF 360-style): a small density MLP places the
     # main model's samples; trained with the interlevel bound loss.
     prop_layers: int = 2

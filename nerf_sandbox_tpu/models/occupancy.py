@@ -102,7 +102,7 @@ def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig
                            pos_include_input: bool = True,
                            dir_include_input: bool = True,
                            pos_encoder: str = "freq", enc_cfg=None,
-                           chunk: int = 65536):
+                           compute_dtype=jnp.bfloat16, chunk: int = 65536):
     """→ jitted ``update(grid, params, key) -> grid``.
 
     Queries the model's density at one jittered point per cell and applies
@@ -135,7 +135,8 @@ def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig
                 enc_pos = hash_encode(params["pos_grid"], pts_chunk, enc_cfg)
             elif pos_encoder == "kplanes":
                 from nerf_sandbox_tpu.models.kplanes import kplanes_encode
-                enc_pos = kplanes_encode(params["pos_grid"], pts_chunk, enc_cfg)
+                enc_pos = kplanes_encode(params["pos_grid"], pts_chunk,
+                                         enc_cfg, compute_dtype=compute_dtype)
             else:
                 enc_pos = positional_encoding(pts_chunk, pos_bands,
                                               include_input=pos_include_input)
@@ -143,8 +144,10 @@ def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig
                 jnp.array([0.0, 0.0, 1.0], jnp.float32), pts_chunk.shape)
             enc_dir = positional_encoding(d, dir_bands,
                                           include_input=dir_include_input)
+            # same dtype as training/eval: grid marks near the alpha
+            # threshold must not diverge from the configured model
             raw = nerf_apply(params, model_cfg, enc_pos, enc_dir,
-                             compute_dtype=jnp.bfloat16)[..., 3]
+                             compute_dtype=compute_dtype)[..., 3]
             if sigma_activation == "softplus":
                 return jax.nn.softplus(raw)
             return jax.nn.relu(raw)

@@ -205,18 +205,17 @@ def render_rays_chunked(render_tile, params_c, params_f, rays_o, rays_d_unit,
     if key is None:
         key = jax.random.PRNGKey(0)
 
+    # Pad by WRAPPING the leading rays (n_pad < tile <= n): synthetic
+    # degenerate rays could out-rank real rays in the eval_fine_frac
+    # culling (an origin +z probe ray composites high acc and steals
+    # refine slots from the last partial tile); duplicated real rays rank
+    # exactly like their originals and their outputs are sliced off.
     def pad(x):
-        return jnp.concatenate([x, jnp.zeros((n_pad,) + x.shape[1:], x.dtype)]) \
-            if n_pad else x
+        return jnp.concatenate([x, x[:n_pad]]) if n_pad else x
 
     ro, rd = pad(rays_o), pad(rays_d_unit)
     rn = pad(ray_norms.reshape(n, 1))
     vd = pad(viewdirs)
-    # padded ray dirs are zero → guard norms to 1 so nothing divides by 0
-    if n_pad:
-        rn = rn.at[n:].set(1.0)
-        rd = rd.at[n:].set(jnp.array([0.0, 0.0, 1.0], rd.dtype))
-        vd = vd.at[n:].set(jnp.array([0.0, 0.0, 1.0], vd.dtype))
 
     outs = {"rgb": [], "acc": [], "depth": []}
     for i in range(0, n + n_pad, tile):

@@ -196,18 +196,20 @@ class Trainer:
             else:
                 s = float(cfg.occ_aabb_scale)
                 lo, hi = (-s, -s, -s), (s, s, s)
-            explore = float(cfg.occ_explore_frac)
-            if self.use_ndc and explore == 0.02:
-                # NDC scenes keep thin content at the far plane in a
+            if cfg.occ_explore_frac is None:
+                # auto: NDC scenes keep thin content at the far plane in a
                 # sub-cell shell; a cell that loses its occupancy mark then
                 # never re-learns it. A large uniform floor recovers most
                 # of the gap (measured 22.3 -> 26.2 dB @3k on the LLFF
                 # sphere scene, RESULTS.md) while keeping the grid's
-                # concentration benefit.
-                explore = 0.5
-                print("[occ] NDC: occ_explore_frac defaulted to 0.5 "
-                      "(far-plane bootstrap; override with "
-                      "--occ_explore_frac)")
+                # concentration benefit. Explicit values always win.
+                explore = 0.5 if self.use_ndc else 0.02
+                if self.use_ndc:
+                    print("[occ] NDC: occ_explore_frac auto-set to 0.5 "
+                          "(far-plane bootstrap; override with "
+                          "--occ_explore_frac)")
+            else:
+                explore = float(cfg.occ_explore_frac)
             self.occ_cfg = OccupancyConfig(
                 resolution=int(cfg.occ_res), lo=lo, hi=hi,
                 decay=float(cfg.occ_decay),
@@ -296,7 +298,8 @@ class Trainer:
                 sigma_activation=cfg.sigma_activation,
                 pos_include_input=cfg.pos_include_input,
                 dir_include_input=cfg.dir_include_input,
-                pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg)
+                pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
+                compute_dtype=jnp.dtype(cfg.compute_dtype))
 
         # ---- eval renderer ----
         self.eval_hyper = EvalHyper(
@@ -416,7 +419,7 @@ class Trainer:
             import jax
             import jax.numpy as jnp
             from nerf_sandbox_tpu.core.sampling import (
-                sample_pdf, stratified_samples)
+                resample_midpoints, stratified_samples)
             from nerf_sandbox_tpu.data.sampler import sample_ray_batch
             from nerf_sandbox_tpu.models.forward import nerf_forward_pass
             from nerf_sandbox_tpu.utils.debug import fine_sample_topk_hit
@@ -439,9 +442,10 @@ class Trainer:
                 sigma_activation=self.cfg.sigma_activation,
                 infinite_last_bin=bool(self.cfg.infinite_last_bin),
                 pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg)
+            zf = resample_midpoints(z, w_c, self.cfg.nf, deterministic=True)
+            # the hit metric needs the same bins/weights the sampler saw
             bins_mid = 0.5 * (z[:, 1:] + z[:, :-1])
             w_bins = 0.5 * (w_c[:, 1:] + w_c[:, :-1]) + 1e-5
-            zf = sample_pdf(bins_mid, w_bins, self.cfg.nf, deterministic=True)
             d = fine_sample_topk_hit(bins_mid, w_bins, zf, topk=4)
             print(f"[diag] step={step} fine samples in top-4 intervals: "
                   f"{d['hit_rate'] * 100:.1f}% (expected mass "
@@ -459,7 +463,10 @@ class Trainer:
         return bool(self.cfg.use_pallas and pallas_available()
                     and fusable(self.model_cfg)
                     and self.pos_encoder == "freq"
-                    and self.plan.n_devices == 1)
+                    and self.plan.n_devices == 1
+                    # the kernel's matmuls are bf16 by design; an explicit
+                    # --compute_dtype float32 must get true-fp32 XLA eval
+                    and str(self.cfg.compute_dtype) == "bfloat16")
 
     # ------------------------------------------------------------------
     # checkpoints
@@ -585,7 +592,9 @@ class Trainer:
                 step, pc, pf = job
                 try:
                     self._run_validation(step, pc, pf)
-                except Exception as e:
+                except BaseException as e:   # noqa: BLE001 — a dead worker
+                    # would deadlock the bounded-queue producer, so nothing
+                    # may escape (SystemExit from a library included)
                     self._val_failures.append(step)
                     print(f"[VAL] async validation at step {step} failed: {e}")
             finally:
@@ -602,6 +611,13 @@ class Trainer:
 
     def _dispatch_validation(self, step: int) -> None:
         pc, pf = self.eval_params()
+        if (getattr(self, "_val_thread", None) is not None
+                and not self._val_thread.is_alive()):
+            # the worker died (it shields BaseException, but belt and
+            # braces: a blocked put on a dead consumer would hang forever)
+            print("[VAL] WARNING: async validation worker died — "
+                  "falling back to synchronous validation")
+            self._val_thread = None
         if getattr(self, "_val_thread", None) is not None:
             # The train step donates the state buffers, so holding the raw
             # references is NOT a snapshot — the next dispatch deletes them.

@@ -205,3 +205,6 @@ def test_ndc_explore_floor_default(tmp_path):
     assert tr.occ_cfg.explore_frac == 0.5
     tr2 = Trainer(mk(base + ["--occ_explore_frac", "0.1"]))
     assert tr2.occ_cfg.explore_frac == 0.1
+    # an explicit 0.02 (the world-space auto value) is respected too
+    tr3 = Trainer(mk(base + ["--occ_explore_frac", "0.02"]))
+    assert tr3.occ_cfg.explore_frac == 0.02
