@@ -31,12 +31,14 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def load_gt(data_root: str, kind: str, white_bkgd: bool = True) -> np.ndarray:
-    """Ground-truth RGB (H, W, 3) float32 for validation frame 0, using this
-    repo's loaders (parity-tested against the reference's)."""
+def load_gt(data_root: str, kind: str, white_bkgd: bool = True,
+            index: int = 0, holdout_every: int = 0) -> np.ndarray:
+    """Ground-truth RGB (H, W, 3) float32 for validation frame ``index``,
+    using this repo's loaders (parity-tested against the reference's)."""
     if kind == "llff":
         from nerf_sandbox_tpu.data.llff_loader import LLFFSceneLoader
-        loader = LLFFSceneLoader(data_root, white_bkgd=white_bkgd)
+        loader = LLFFSceneLoader(data_root, white_bkgd=white_bkgd,
+                                 holdout_every=holdout_every)
     else:
         from nerf_sandbox_tpu.data.blender_loader import BlenderSceneLoader
         loader = BlenderSceneLoader(data_root, white_bkgd=white_bkgd)
@@ -44,7 +46,7 @@ def load_gt(data_root: str, kind: str, white_bkgd: bool = True) -> np.ndarray:
         scene = loader.load("val")
     except FileNotFoundError:
         scene = loader.load("test")
-    img = np.asarray(scene.frames[0].image, np.float32)
+    img = np.asarray(scene.frames[index].image, np.float32)
     if img.shape[-1] == 4:
         a = img[..., 3:4]
         img = img[..., :3] * a + (1.0 - a) * (1.0 if white_bkgd else 0.0)
@@ -58,10 +60,12 @@ def _resize(img: np.ndarray, H: int, W: int) -> np.ndarray:
     return cv2.resize(img, (W, H), interpolation=cv2.INTER_LINEAR)
 
 
-def psnrs_for_run(run_dir: str, gt: np.ndarray) -> dict[int, float]:
+def psnrs_for_run(run_dir: str, gt: np.ndarray,
+                  index: int = 0) -> dict[int, float]:
     import imageio.v2 as iio
     out: dict[int, float] = {}
-    for p in sorted(Path(run_dir).glob("validation/val_idx0000/rgb/step_*.png")):
+    pat = f"validation/val_idx{index:04d}/rgb/step_*.png"
+    for p in sorted(Path(run_dir).glob(pat)):
         step = int(re.search(r"step_(\d+)", p.name).group(1))
         pred = iio.imread(p).astype(np.float32) / 255.0
         g = _resize(gt, pred.shape[0], pred.shape[1])
@@ -77,16 +81,30 @@ def main() -> int:
     ap.add_argument("--data_root", required=True)
     ap.add_argument("--data_kind", choices=["blender", "llff"], required=True)
     ap.add_argument("--label", default="")
+    ap.add_argument("--val_indices", default="0",
+                    help="comma-separated validation frame indices; PSNR is "
+                         "reported per step as the mean over frames")
+    ap.add_argument("--holdout_every", type=int, default=0,
+                    help="LLFF periodic holdout (must match the runs)")
     args = ap.parse_args()
 
-    gt = load_gt(args.data_root, args.data_kind)
-    ref = psnrs_for_run(args.ref_dir, gt)
-    jx = psnrs_for_run(args.jax_dir, gt)
+    idxs = [int(s) for s in args.val_indices.split(",") if s.strip()]
+    # mean PSNR over frames at each step, for each side
+    ref_acc: dict[int, list] = {}
+    jax_acc: dict[int, list] = {}
+    for i in idxs:
+        gt = load_gt(args.data_root, args.data_kind, index=i,
+                     holdout_every=args.holdout_every)
+        for acc, run in ((ref_acc, args.ref_dir), (jax_acc, args.jax_dir)):
+            for s, v in psnrs_for_run(run, gt, index=i).items():
+                acc.setdefault(s, []).append(v)
+    ref = {s: float(np.mean(v)) for s, v in ref_acc.items() if len(v) == len(idxs)}
+    jx = {s: float(np.mean(v)) for s, v in jax_acc.items() if len(v) == len(idxs)}
     steps = sorted(set(ref) & set(jx))
     if not steps:
         print(f"no matched steps: ref={sorted(ref)} jax={sorted(jx)}")
         return 1
-    tag = f" ({args.label})" if args.label else ""
+    tag = f" ({args.label}, {len(idxs)} frame(s))" if args.label else ""
     print(f"| step | torch reference (dB){tag} | this repo (dB) | Δ |")
     print("|---|---|---|---|")
     deltas = []

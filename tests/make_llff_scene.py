@@ -36,7 +36,7 @@ def forward_pose(dx: float, dy: float, dist: float) -> np.ndarray:
 
 
 def make_llff_scene(root, views: int = 12, size: int = 128,
-                    dist: float = 4.0):
+                    dist: float = 4.0, textured: bool = False):
     import imageio.v2 as imageio
     root = Path(root)
     img_dir = root / "images"
@@ -48,7 +48,8 @@ def make_llff_scene(root, views: int = 12, size: int = 128,
         ang = 2 * np.pi * i / views
         dx, dy = 0.45 * np.cos(ang), 0.3 * np.sin(ang)
         c2w = forward_pose(dx, dy, dist)
-        img = render_view(c2w, size, size, focal)
+        img = render_view(c2w, size, size, focal,
+                          textured=textured, supersample=2 if textured else 1)
         # composite on white (LLFF images carry no alpha)
         rgb = img[..., :3] * img[..., 3:4] + (1.0 - img[..., 3:4])
         imageio.imwrite(img_dir / f"img_{i:03d}.png",
@@ -59,8 +60,14 @@ def make_llff_scene(root, views: int = 12, size: int = 128,
         m = np.stack([-R[:, 1], R[:, 0], R[:, 2]], axis=1)
         hwf = np.array([size, size, focal], np.float32)
         p35 = np.concatenate([m, c2w[:3, 3:4], hwf[:, None]], axis=1)
-        near = dist - 1.3   # sphere world spans |x| <= ~1.25
-        far = dist + 1.5
+        if textured:
+            # ground disc (radius PLANE_R=2.1) extends toward the camera:
+            # front edge is ~1.9 from the eye; far edge + offsets ~6.3
+            near = dist - 2.5
+            far = dist + 2.6
+        else:
+            near = dist - 1.3   # sphere world spans |x| <= ~1.25
+            far = dist + 1.5
         rows.append(np.concatenate([p35.reshape(-1), [near, far]]))
     np.save(root / "poses_bounds.npy", np.stack(rows).astype(np.float64))
     return root
@@ -72,6 +79,8 @@ if __name__ == "__main__":
     ap.add_argument("root")
     ap.add_argument("--views", type=int, default=12)
     ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--textured", action="store_true",
+                    help="checker/noise albedos + checkered ground disc")
     args = ap.parse_args()
-    make_llff_scene(args.root, args.views, args.size)
+    make_llff_scene(args.root, args.views, args.size, textured=args.textured)
     print(f"wrote LLFF sphere scene to {args.root}")
