@@ -519,6 +519,12 @@ def apply_vanilla_profile(cfg: Config, explicit: set | None = None) -> Config:
         cfg.lr_scheduler_params = {"eta_min": 5e-6, "T_max": cfg.max_steps}
     cfg.initial_acc_opacity = 0.0
     cfg.vanilla = True
+    # --vanilla means exact reference eval semantics: disable the fused
+    # kernel's early ray termination (its error is bounded <eps/channel but
+    # 0.0 is the documented reference marching). An explicit
+    # --eval_ert_eps opts back into the fast path.
+    if not (explicit and "eval_ert_eps" in explicit):
+        cfg.eval_ert_eps = 0.0
 
     if kind in {"blender", "synthetic"}:
         cfg.use_ndc = False

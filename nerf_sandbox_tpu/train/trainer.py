@@ -366,6 +366,11 @@ class Trainer:
         self._val_next_idx = 0
         self._val_avg_seconds = 0.0
         self._val_event_durations: list[float] = []
+        # guards duration bookkeeping shared with the --async_val worker
+        import threading
+        self._val_stats_lock = threading.Lock()
+        # --thermal_throttle restore target once HBM pressure clears
+        self._eval_chunk_init = eval_chunk
         if self.val_steps:
             print(f"[VAL] first validation at step {self.val_steps[0]} "
                   f"(1/{len(self.val_steps)})")
@@ -579,9 +584,10 @@ class Trainer:
             if count > 0:
                 print(f"[PROGRESS] wrote progress frames [{start}..{start+count-1}]")
         dur = time.perf_counter() - t0
-        self._val_event_durations.append(dur)
-        recent = self._val_event_durations[-10:]
-        self._val_avg_seconds = sum(recent) / max(1, len(recent))
+        with self._val_stats_lock:
+            self._val_event_durations.append(dur)
+            recent = self._val_event_durations[-10:]
+            self._val_avg_seconds = sum(recent) / max(1, len(recent))
 
     def _val_worker(self) -> None:
         while True:
@@ -716,8 +722,12 @@ class Trainer:
                        if self._val_next_idx < len(self.val_steps)
                        else max_steps)
             nxt_ckpt = ((s - 1) // ckpt_every + 1) * ckpt_every
-            nxt_diag = ((s - 1) // 500 + 1) * 500
-            nxt = min(nxt_val, nxt_ckpt, nxt_diag, max_steps)
+            nxt = min(nxt_val, nxt_ckpt, max_steps)
+            if self.sampling_mode == "hierarchical":
+                # the 500-step fine-sampling diagnostic only runs (and only
+                # makes sense) with a coarse NeRF — don't break scan chunks
+                # on it in occupancy/proposal modes
+                nxt = min(nxt, ((s - 1) // 500 + 1) * 500)
             if occupancy:
                 every = self.occ_cfg.update_every
                 nxt = min(nxt, ((s - 1) // every + 1) * every)
@@ -782,7 +792,9 @@ class Trainer:
                     avg = sum(eta_window) / len(eta_window)
                     eta_train = (max_steps - step) * avg
                     rem_val = len(self.val_steps) - self._val_next_idx
-                    eta_total = eta_train + rem_val * self._val_avg_seconds
+                    with self._val_stats_lock:
+                        val_avg = self._val_avg_seconds
+                    eta_total = eta_train + rem_val * val_avg
                     lr_now = self.lr_info["lr"]
                     try:
                         from nerf_sandbox_tpu.train.step import make_lr_schedule
@@ -800,13 +812,24 @@ class Trainer:
                     self.tb_logger.add_scalar("train/lr", float(lr_now), step)
                     self.monitor.log_to_tb(self.tb_logger, step)
                     last_log_time, last_log_step = now, step
-                    if self.monitor.guard(step) and self.valr.eval_chunk > 1024:
+                    pressure = self.monitor.guard_state(step)
+                    if (pressure and self.monitor.enable_throttle
+                            and self.valr.eval_chunk > 1024):
                         # --thermal_throttle: under HBM pressure shrink the
                         # validation render tile (reference gpu_thermal.py:69-90
                         # raises micro-chunks when hot; this is the TPU analogue)
                         self.valr.eval_chunk //= 2
                         print(f"[DEVICE] validation eval tile -> "
                               f"{self.valr.eval_chunk}")
+                    elif (pressure is False
+                          and self.valr.eval_chunk < self._eval_chunk_init):
+                        # pressure cleared: step the tile back up toward its
+                        # configured size (a one-way ratchet would let one
+                        # transient spike slow every later validation)
+                        self.valr.eval_chunk = min(self._eval_chunk_init,
+                                                   self.valr.eval_chunk * 2)
+                        print(f"[DEVICE] HBM pressure cleared; validation "
+                              f"eval tile -> {self.valr.eval_chunk}")
 
                 # hierarchical-sampling health check (trainer.py:937-979 cadence)
                 if step % 500 == 0 and self.sampling_mode == "hierarchical":

@@ -40,24 +40,26 @@ class DeviceMonitor:
         except Exception:
             return None
 
-    def guard(self, step: int) -> bool:
+    def guard_state(self, step: int) -> Optional[bool]:
         """Per-step hook (reference ``gpu_thermal.py:69-90`` role).
 
-        Returns True when the device is under memory pressure (>95% HBM)
-        AND throttling is enabled — the trainer responds by halving the
-        validation eval tile (the TPU analogue of the reference raising
-        micro-chunks when hot).  Warns on each new pressure episode.
+        Tri-state: ``None`` = not checked (rate-limited / stats unavailable),
+        ``True`` = under memory pressure (>95% HBM), ``False`` = checked and
+        clear.  The trainer halves the validation eval tile on pressure and
+        restores it once the pressure clears (a one-way ratchet would leave
+        a transient validation-render spike permanently shrinking the tile).
+        Warns on each new pressure episode.
 
         Rate limiting is elapsed-steps based (NOT ``step % check_every`` —
-        the trainer calls guard at log boundaries, which are rarely exact
+        the trainer calls this at log boundaries, which are rarely exact
         multiples of check_every)."""
         if (self._last_checked is not None
                 and step - self._last_checked < self.check_every):
-            return False
+            return None
         self._last_checked = step
         s = self.hbm_stats()
         if not (s and s["bytes_limit"]):
-            return False
+            return None
         frac = s["bytes_in_use"] / s["bytes_limit"]
         if frac <= 0.95:
             self._warned = False
@@ -69,7 +71,11 @@ class DeviceMonitor:
                      else " — consider --micro_chunks, a smaller "
                           "--eval_chunk, or --thermal_throttle"))
             self._warned = True
-        return self.enable_throttle
+        return True
+
+    def guard(self, step: int) -> bool:
+        """Legacy boolean hook: True = pressure AND throttling enabled."""
+        return bool(self.guard_state(step)) and self.enable_throttle
 
     def log_to_tb(self, tb_logger, step: int) -> None:
         s = self.hbm_stats()

@@ -63,6 +63,21 @@ def test_vanilla_llff_profile():
     assert cfg.white_bkgd is True
 
 
+def test_vanilla_resets_ert_unless_explicit():
+    """--vanilla means exact reference eval semantics: early ray termination
+    off, unless the user explicitly opted back in (ADVICE r2)."""
+    from nerf_sandbox_tpu.config import explicit_flag_names
+    cfg = _parse(["--data_kind", "blender", "--vanilla"])
+    cfg = apply_vanilla_profile(cfg)
+    assert cfg.eval_ert_eps == 0.0
+    argv = ["--data_root", "x", "--out_dir", "y", "--vanilla",
+            "--eval_ert_eps", "1e-4"]
+    cfg = _parse(["--data_kind", "blender", "--vanilla",
+                  "--eval_ert_eps", "1e-4"])
+    cfg = apply_vanilla_profile(cfg, explicit=explicit_flag_names(argv))
+    assert cfg.eval_ert_eps == 1e-4
+
+
 def test_llff_centering_default():
     cfg = _parse(["--data_kind", "llff"])
     assert cfg.centering == "auto"

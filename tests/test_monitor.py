@@ -31,6 +31,18 @@ def test_guard_warns_per_episode(capsys):
     assert "[DEVICE]" in capsys.readouterr().out  # new episode warns again
 
 
+def test_guard_state_tristate():
+    """None = not checked, True = pressure, False = checked-and-clear —
+    the trainer uses False (not None) to restore a throttled eval tile."""
+    m = _patched(DeviceMonitor(enable_throttle=True, check_every=10), 0.97)
+    assert m.guard_state(1) is True
+    assert m.guard_state(5) is None     # rate-limited -> unknown, no restore
+    _patched(m, 0.5)
+    assert m.guard_state(11) is False   # checked and clear -> restore signal
+    m2 = _patched(DeviceMonitor(enable_throttle=False, check_every=1), 0.97)
+    assert m2.guard_state(1) is True    # pressure reported even w/o throttle
+
+
 def test_guard_respects_cadence():
     """Elapsed-steps rate limit: the trainer calls guard at LOG boundaries
     (50, 150, ...), which are rarely multiples of check_every — the first
