@@ -27,6 +27,8 @@ from nerf_sandbox_tpu.core.sampling import (
     stratified_samples)
 from nerf_sandbox_tpu.models.forward import nerf_forward_pass
 from nerf_sandbox_tpu.models.mlp import NeRFConfig
+from jax.sharding import PartitionSpec as P
+
 from nerf_sandbox_tpu.parallel.mesh import MeshPlan, shard_batch_constraint
 
 
@@ -58,6 +60,9 @@ class EvalHyper(NamedTuple):
     # bound eps per channel). 0.0 = reference march-every-sample semantics.
     # Only affects the Pallas path (XLA eval marches everything).
     eval_ert_eps: float = 0.0
+    # Run the Pallas kernel in interpret mode (CPU-mesh tests of the
+    # shard_map-wrapped fused eval path; never set on TPU).
+    pallas_interpret: bool = False
     pos_encoder: str = "freq"
     enc_cfg: object = None
     # "occupancy": the params_c slot of render_tile carries the occupancy
@@ -77,7 +82,7 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
     plan = plan or MeshPlan(mesh=None)
     pos_bands_np = np.asarray(pos_bands)   # concrete, for the fused kernel
 
-    def fused_fwd(params, rays_o, rays_d_unit, ray_norms, viewdirs, z):
+    def _fused_fwd_local(params, rays_o, rays_d_unit, ray_norms, viewdirs, z):
         """Fused Pallas ray-march (ops/fused_raymarch.py) — the fast eval
         path; numerics-equivalent to the XLA branch below (bf16 compute)."""
         from nerf_sandbox_tpu.core.encoding import positional_encoding
@@ -92,7 +97,27 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
             sigma_activation=hyper.sigma_activation,
             white_bkgd=hyper.white_bkgd,
             infinite_last_bin=hyper.infinite_last_bin,
-            ert_eps=hyper.eval_ert_eps)
+            ert_eps=hyper.eval_ert_eps,
+            interpret=hyper.pallas_interpret)
+
+    if plan.mesh is not None:
+        # GSPMD has no partitioning rule for Mosaic custom calls, so on a
+        # mesh the kernel runs under shard_map: each device executes the
+        # fused ray-march on its ray shard (rays are i.i.d. — no
+        # collectives), params replicated. Per-shard ray counts are padded
+        # to TILE_R inside the kernel wrapper, so any equal split works.
+        data_axes = tuple(a for a in plan.mesh.axis_names if a != "model")
+        spec_b = P(data_axes)
+
+        def fused_fwd(params, rays_o, rays_d_unit, ray_norms, viewdirs, z):
+            f = jax.shard_map(
+                _fused_fwd_local, mesh=plan.mesh,
+                in_specs=(P(), spec_b, spec_b, spec_b, spec_b, spec_b),
+                out_specs=(spec_b, spec_b, spec_b, spec_b),
+                check_vma=False)
+            return f(params, rays_o, rays_d_unit, ray_norms, viewdirs, z)
+    else:
+        fused_fwd = _fused_fwd_local
 
     @jax.jit
     def render_tile(params_c, params_f, rays_o, rays_d_unit, ray_norms,
@@ -169,7 +194,10 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
             # coarse opacity. Row gathers/scatters of whole rays are cheap
             # on TPU (contiguous DMA, measured ~0.01 ms at (32k,128)) —
             # unlike the per-sample axis-1 gathers sample_pdf avoids.
-            K = max(1, -(-int(T * frac) // 8) * 8)
+            # K rounds to 8·n_devices so the culled subset still splits
+            # evenly across the mesh for the shard_map'd fused kernel.
+            m = 8 * plan.n_devices
+            K = min(T, max(m, -(-int(T * frac) // m) * m))
             order = jnp.argsort(-acc_c[:, 0])
             top = order[:K]
             ro_s, rd_s = rays_o[top], rays_d_unit[top]

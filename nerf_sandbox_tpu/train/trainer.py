@@ -461,14 +461,18 @@ class Trainer:
     def _pallas_eval_ok(self) -> bool:
         """Fused Pallas ray-march for eval renders (default on): requires a
         real TPU backend, a frequency encoder, the fusable architecture
-        family (hidden%128==0, one interior skip), and a SINGLE-device
-        plan — GSPMD has no partitioning rule for Mosaic custom calls, so
-        on a mesh the sharded XLA eval path stays in charge."""
+        family (hidden%128==0, one interior skip), and a data-only mesh —
+        on a mesh the kernel runs per-device under shard_map (GSPMD has no
+        partitioning rule for Mosaic custom calls); a tensor-parallel
+        ``model`` axis would shard the MLP itself, which the fused kernel
+        doesn't implement, so that case keeps the XLA eval path."""
         from nerf_sandbox_tpu.ops.fused_mlp import fusable, pallas_available
+        data_only = (self.plan.mesh is None
+                     or "model" not in self.plan.mesh.axis_names)
         return bool(self.cfg.use_pallas and pallas_available()
                     and fusable(self.model_cfg)
                     and self.pos_encoder == "freq"
-                    and self.plan.n_devices == 1
+                    and data_only
                     # the kernel's matmuls are bf16 by design; an explicit
                     # --compute_dtype float32 must get true-fp32 XLA eval
                     and str(self.cfg.compute_dtype) == "bfloat16")
