@@ -214,6 +214,14 @@ class Config:
     # where PNG/TB host work is the validation bottleneck.
     async_val: bool = False
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    # Multi-process (multi-host) execution: one JAX process per host over a
+    # global mesh (parallel/dist.py). On TPU pods the runtime auto-detects
+    # coordinator/process ids — leave the three knobs unset; they exist for
+    # CPU/GPU clusters and the 2-process CPU tests.
+    multihost: bool = False
+    coordinator_address: Optional[str] = None
+    num_processes: int = 0
+    process_id: int = -1
 
     # Sampling strategy (new — NerfAcc-style acceleration, docs/ROADMAP.md)
     sampling: str = "hierarchical"     # hierarchical | occupancy | proposal
@@ -435,6 +443,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="Run validation renders/PNG writes on a worker "
                         "thread (params snapshot) so training never stalls")
     g.add_argument("--profile_dir", type=str, default=None)
+    g.add_argument("--multihost", action="store_true",
+                   help="Multi-process execution: jax.distributed.initialize "
+                        "before building the mesh (auto-detected on TPU "
+                        "pods; use the coordinator flags elsewhere)")
+    g.add_argument("--coordinator_address", type=str, default=None)
+    g.add_argument("--num_processes", type=int, default=d.num_processes)
+    g.add_argument("--process_id", type=int, default=d.process_id)
 
     return p
 

@@ -122,6 +122,15 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
     @jax.jit
     def render_tile(params_c, params_f, rays_o, rays_d_unit, ray_norms,
                     viewdirs, key):
+        from nerf_sandbox_tpu.parallel.dist import replicate_outputs_constraint
+        out = _render_tile_core(params_c, params_f, rays_o, rays_d_unit,
+                                ray_norms, viewdirs, key)
+        # multi-process: the host (every process) reads these into PNGs, so
+        # they must be fully addressable — one all-gather, no-op otherwise
+        return replicate_outputs_constraint(plan, out)
+
+    def _render_tile_core(params_c, params_f, rays_o, rays_d_unit, ray_norms,
+                          viewdirs, key):
         T = rays_o.shape[0]
         (rays_o, rays_d_unit, ray_norms, viewdirs) = shard_batch_constraint(
             plan, (rays_o, rays_d_unit, ray_norms, viewdirs))

@@ -49,6 +49,13 @@ def main(argv=None):
 
     Path(cfg.out_dir).mkdir(parents=True, exist_ok=True)
 
+    if cfg.multihost:
+        # MUST precede the Trainer's first backend touch (jax.devices())
+        from nerf_sandbox_tpu.parallel.dist import initialize_multihost
+        initialize_multihost(cfg.coordinator_address,
+                             cfg.num_processes or None,
+                             cfg.process_id if cfg.process_id >= 0 else None)
+
     from nerf_sandbox_tpu.train.trainer import Trainer
     trainer = Trainer(cfg)
 

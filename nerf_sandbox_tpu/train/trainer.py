@@ -59,8 +59,25 @@ def _fmt_eta(seconds: float) -> str:
 
 class Trainer:
     def __init__(self, cfg: Config) -> None:
+        from nerf_sandbox_tpu.parallel import dist
         self.cfg = cfg
         self.out_dir = Path(cfg.out_dir)
+        # Multi-process: checkpoints/TB come from process 0 only; non-main
+        # processes still render collectively (a mesh-wide program must be
+        # dispatched on every process) but write under out_dir/procN so a
+        # shared filesystem stays race-free (parallel/dist.py policy).
+        self.is_main = dist.is_main_process()
+        self._main_out_dir = self.out_dir
+        if dist.is_multiprocess():
+            print(f"[dist] process {dist.process_index()}/"
+                  f"{dist.process_count()} "
+                  f"({jax.local_device_count()} local device(s))")
+            if cfg.async_val:
+                print("[dist] --async_val is single-process only (collective "
+                      "dispatch ordering); forcing synchronous validation")
+                cfg.async_val = False
+            if not self.is_main:
+                self.out_dir = self.out_dir / f"proc{dist.process_index()}"
         self.out_dir.mkdir(parents=True, exist_ok=True)
 
         # ---- data ----
@@ -287,6 +304,18 @@ class Trainer:
         print(f"[model] 2x NeRF {cfg.n_layers}x{cfg.hidden_dim} skip@{cfg.skip_pos} "
               f"enc=({enc_pos_dim},{enc_dir_dim}) params={n_params:,}")
 
+        if dist.is_multiprocess():
+            # jit inputs must be GLOBAL arrays under multi-process SPMD;
+            # params/opt-state/scene are identical on every process
+            # (deterministic init / shared dataset), so each process's full
+            # copy supplies its addressable shards.
+            self.state = dist.replicate_to_mesh(self.plan, self.state)
+            self.scene_arrays = dist.replicate_to_mesh(self.plan,
+                                                       self.scene_arrays)
+            if self.occ_grid is not None:
+                self.occ_grid = dist.replicate_to_mesh(self.plan,
+                                                       self.occ_grid)
+
         self.train_step = build_train_step(
             self.hyper, self.spec, self.tx, self.pos_bands, self.dir_bands,
             plan=self.plan, base_seed=cfg.seed)
@@ -326,7 +355,8 @@ class Trainer:
         self.signals = SignalController()
         install_signal_handlers(self.signals)
         self.tb_logger = TensorBoardLogger(
-            enabled=cfg.use_tb, logdir=cfg.tb_logdir or str(self.out_dir / "tb"),
+            enabled=cfg.use_tb and self.is_main,
+            logdir=cfg.tb_logdir or str(self.out_dir / "tb"),
             image_max_side=cfg.tb_image_max_side)
 
         # ---- validation indices + renderer + schedule ----
@@ -483,7 +513,9 @@ class Trainer:
 
     @property
     def ckpt_dir(self) -> Path:
-        d = self.out_dir / "checkpoints"
+        # always the MAIN out_dir: process 0 writes, everyone restores from
+        # the same path (multi-host restore assumes shared storage)
+        d = self._main_out_dir / "checkpoints"
         d.mkdir(parents=True, exist_ok=True)
         return d
 
@@ -497,6 +529,8 @@ class Trainer:
 
     def save_checkpoint(self, step: int, tag: str | None = None,
                         include_optim: bool = True):
+        if not self.is_main:
+            return self.ckpt_dir          # process 0 owns checkpoint writes
         if self.cfg.ckpt_backend == "orbax" and tag is None:
             self._orbax.save(step, self.state, asdict(self.cfg))
             return self.ckpt_dir
@@ -512,12 +546,12 @@ class Trainer:
             # whichever source has the higher step so an interrupt save is
             # never silently discarded.
             ob_step = self._orbax.latest_step()
-            npz = ckpt.find_latest_checkpoint(self.ckpt_dir, self.out_dir)
+            npz = ckpt.find_latest_checkpoint(self.ckpt_dir, self._main_out_dir)
             npz_step = ckpt.step_of_path(npz) if npz is not None else -1
             if npz is not None and (ob_step is None or npz_step > int(ob_step)):
                 return npz
             return ob_step
-        return ckpt.find_latest_checkpoint(self.ckpt_dir, self.out_dir)
+        return ckpt.find_latest_checkpoint(self.ckpt_dir, self._main_out_dir)
 
     def load_checkpoint(self, path, load_optim: bool = True) -> int:
         if self.cfg.ckpt_backend == "orbax" and isinstance(path, int):
