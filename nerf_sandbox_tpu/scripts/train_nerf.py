@@ -79,8 +79,9 @@ def main(argv=None):
             convention=trainer.camera_convention,
             tb_logger=trainer.tb_logger, eval_chunk=int(cfg.eval_chunk),
             cancel_flag_getter=lambda: trainer.signals.cancel_render)
-        if trainer.sampling_mode == "occupancy":
-            trainer._rebuild_occupancy(0)        # grid isn't checkpointed
+        if trainer.sampling_mode == "occupancy" and \
+                not getattr(trainer, "_occ_grid_restored", False):
+            trainer._rebuild_occupancy(0)        # grid-less checkpoint
         valr.render_camera_path_video(
             *trainer.eval_params(), video_name="camera_path", overwrite=True)
         return

@@ -77,8 +77,16 @@ def ckpt_path(ckpt_dir: Path, step: int) -> Path:
 
 def save_checkpoint(ckpt_dir, step: int, state, cfg_dict: dict, *,
                     tag: str | None = None, latest: bool = True,
-                    include_optim: bool = True) -> Path:
-    """Serialise TrainState (+config echo) to one .npz file."""
+                    include_optim: bool = True,
+                    extra: Optional[dict] = None) -> Path:
+    """Serialise TrainState (+config echo) to one .npz file.
+
+    ``extra`` holds auxiliary non-TrainState arrays that must survive resume
+    exactly — today the occupancy grid (the EMA over past updates is NOT a
+    pure function of the current params, so rebuilding it on resume only
+    approximates the uninterrupted run; checkpointing it makes resume
+    bit-exact). Reference resume contract: trainer.py:670-696.
+    """
     ckpt_dir = Path(ckpt_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     path = (ckpt_dir / f"{tag}.ckpt") if tag else ckpt_path(ckpt_dir, step)
@@ -91,6 +99,8 @@ def save_checkpoint(ckpt_dir, step: int, state, cfg_dict: dict, *,
     if include_optim:
         for name, val in _flatten(state.opt_state).items():
             payload["opt" + _SEP + name] = val
+    for name, val in (extra or {}).items():
+        payload["extra" + _SEP + name] = np.asarray(val)
     meta = {"step": int(step),
             "saved_at": datetime.now().isoformat(timespec="seconds"),
             "cfg": cfg_dict}
@@ -134,10 +144,13 @@ class OrbaxCheckpointer:
             Path(ckpt_dir).resolve(),
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
 
-    def save(self, step: int, state, cfg_dict: dict) -> None:
+    def save(self, step: int, state, cfg_dict: dict,
+             extra: Optional[dict] = None) -> None:
         payload = {"state": {"step": state.step, "params_c": state.params_c,
                              "params_f": state.params_f,
                              "opt_state": state.opt_state}}
+        if extra:
+            payload["extra"] = dict(extra)
         self.mgr.save(int(step), args=self._ocp.args.StandardSave(payload))
         meta = Path(self.mgr.directory) / f"cfg_{int(step)}.json"
         meta.write_text(json.dumps({"cfg": cfg_dict, "step": int(step),
@@ -148,24 +161,50 @@ class OrbaxCheckpointer:
     def latest_step(self):
         return self.mgr.latest_step()
 
-    def restore(self, step: int, state, *, load_optim: bool = True):
+    def restore(self, step: int, state, *, load_optim: bool = True,
+                extra_template: Optional[dict] = None):
+        """→ (state, step, extras) — ``extras`` is {} unless the checkpoint
+        carries arrays matching ``extra_template`` (e.g. the occupancy grid;
+        grid-less checkpoints from before it was saved restore fine)."""
         template = {"state": {"step": state.step, "params_c": state.params_c,
                               "params_f": state.params_f,
                               "opt_state": state.opt_state}}
-        out = self.mgr.restore(int(step),
-                               args=self._ocp.args.StandardRestore(template))["state"]
+        if extra_template:
+            template["extra"] = dict(extra_template)
+        try:
+            full = self.mgr.restore(
+                int(step), args=self._ocp.args.StandardRestore(template))
+        except BaseException:
+            if not extra_template:
+                raise
+            template.pop("extra")   # old checkpoint without the extras item
+            full = self.mgr.restore(
+                int(step), args=self._ocp.args.StandardRestore(template))
+        out = full["state"]
+        extras = full.get("extra") or {}
         # restore to host numpy so downstream jit/mesh placement is free
         # (orbax pins restored arrays to single-device shardings otherwise)
         out = jax.tree_util.tree_map(np.asarray, out)
+        extras = jax.tree_util.tree_map(np.asarray, extras)
         import jax.numpy as jnp
         return state._replace(
             step=jnp.int32(out["step"]), params_c=out["params_c"],
             params_f=out["params_f"],
-            opt_state=out["opt_state"] if load_optim else state.opt_state), int(out["step"])
+            opt_state=out["opt_state"] if load_optim else state.opt_state), \
+            int(out["step"]), extras
 
     def close(self):
         self.mgr.wait_until_finished()
         self.mgr.close()
+
+
+def load_extras(path) -> dict:
+    """Auxiliary arrays saved alongside the state (``extra`` of
+    :func:`save_checkpoint`) → {name: np.ndarray}; {} for old checkpoints."""
+    prefix = "extra" + _SEP
+    with np.load(Path(path), allow_pickle=False) as zf:
+        return {k[len(prefix):]: zf[k] for k in zf.files
+                if k.startswith(prefix)}
 
 
 _STEP_RE = re.compile(r"(?:ckpt|step)[_-]?(\d+)", re.IGNORECASE)

@@ -531,13 +531,17 @@ class Trainer:
                         include_optim: bool = True):
         if not self.is_main:
             return self.ckpt_dir          # process 0 owns checkpoint writes
+        # the occupancy grid is EMA state (not a pure function of params):
+        # checkpoint it so resume is bit-exact, not a zero-grid approximation
+        extra = ({"occ_grid": np.asarray(self.occ_grid)}
+                 if self.occ_grid is not None else None)
         if self.cfg.ckpt_backend == "orbax" and tag is None:
-            self._orbax.save(step, self.state, asdict(self.cfg))
+            self._orbax.save(step, self.state, asdict(self.cfg), extra=extra)
             return self.ckpt_dir
         # tagged saves (pause/interrupt) always use the single-file format
         return ckpt.save_checkpoint(self.ckpt_dir, step, self.state,
                                     asdict(self.cfg), tag=tag,
-                                    include_optim=include_optim)
+                                    include_optim=include_optim, extra=extra)
 
     def find_latest_checkpoint(self):
         if self.cfg.ckpt_backend == "orbax":
@@ -554,14 +558,35 @@ class Trainer:
         return ckpt.find_latest_checkpoint(self.ckpt_dir, self._main_out_dir)
 
     def load_checkpoint(self, path, load_optim: bool = True) -> int:
+        self._occ_grid_restored = False
         if self.cfg.ckpt_backend == "orbax" and isinstance(path, int):
-            self.state, step = self._orbax.restore(path, self.state,
-                                                   load_optim=load_optim)
+            tmpl = ({"occ_grid": np.asarray(self.occ_grid)}
+                    if self.occ_grid is not None else None)
+            self.state, step, extras = self._orbax.restore(
+                path, self.state, load_optim=load_optim, extra_template=tmpl)
+            self._restore_occ_grid(extras)
             return step
         self.state, step, _ = ckpt.load_checkpoint(
             path, self.state, load_optim=load_optim,
             allow_partial=bool(getattr(self.cfg, "allow_partial_restore", False)))
+        self._restore_occ_grid(ckpt.load_extras(path))
         return step
+
+    def _restore_occ_grid(self, extras: dict) -> None:
+        """Adopt a checkpointed occupancy grid (bit-exact resume); grid-less
+        checkpoints fall back to the zero-grid rebuild in train()."""
+        g = extras.get("occ_grid") if extras else None
+        if g is None or self.occ_grid is None:
+            return
+        if g.shape != self.occ_grid.shape:
+            print(f"[occ] checkpointed grid shape {g.shape} != configured "
+                  f"{self.occ_grid.shape} (--occ_res changed?) — rebuilding")
+            return
+        from nerf_sandbox_tpu.parallel import dist
+        self.occ_grid = dist.replicate_to_mesh(self.plan, jnp.asarray(g)) \
+            if dist.is_multiprocess() else jnp.asarray(g)
+        self._occ_grid_restored = True
+        print("[occ] occupancy grid restored from checkpoint")
 
     def load_latest_checkpoint(self, load_optim: bool = True) -> int:
         target = self.find_latest_checkpoint()
@@ -744,8 +769,10 @@ class Trainer:
                 plan=self.plan, base_seed=cfg.seed, scan_steps=scan)
 
         occupancy = self.sampling_mode == "occupancy"
-        if occupancy and start_step > 1:
-            # rebuild the (non-checkpointed) grid from the restored model
+        if occupancy and start_step > 1 and \
+                not getattr(self, "_occ_grid_restored", False):
+            # grid-less (old-format) checkpoint: approximate the EMA grid by
+            # one update of a zero grid from the restored model
             self._rebuild_occupancy(start_step - 1)
 
         self._val_thread = None

@@ -55,16 +55,25 @@ def test_orbax_backend_roundtrip(tmp_path):
     state, _ = _state()
     state = state._replace(step=jnp.int32(42))
     mgr = OrbaxCheckpointer(tmp_path / "orbax")
-    mgr.save(42, state, {"lr": 1e-3})
+    grid = np.arange(8.0, dtype=np.float32)
+    mgr.save(42, state, {"lr": 1e-3}, extra={"occ_grid": grid})
     mgr.mgr.wait_until_finished()
     assert mgr.latest_step() == 42
 
     fresh, _ = _state(seed=7)
-    restored, step = mgr.restore(42, fresh)
+    restored, step, extras = mgr.restore(
+        42, fresh, extra_template={"occ_grid": np.zeros(8, np.float32)})
     assert step == 42
+    np.testing.assert_array_equal(extras["occ_grid"], grid)
     for a, b in zip(jax.tree_util.tree_leaves(restored.params_f),
                     jax.tree_util.tree_leaves(state.params_f)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # asking for extras from a checkpoint that lacks them degrades cleanly
+    mgr.save(43, state._replace(step=jnp.int32(43)), {"lr": 1e-3})
+    mgr.mgr.wait_until_finished()
+    _, step2, extras2 = mgr.restore(
+        43, fresh, extra_template={"occ_grid": np.zeros(8, np.float32)})
+    assert step2 == 43 and extras2 == {}
     mgr.close()
 
 

@@ -184,6 +184,73 @@ def test_rebuild_equals_density_field():
     assert float(rebuilt.min()) < float(ones_once.min())
     assert float(rebuilt.max()) > 0.0
 
+def test_occupancy_resume_equivalence(tmp_path):
+    """VERDICT r2 #5: a resumed occupancy run reproduces the uninterrupted
+    run bit-for-bit. The EMA grid is checkpointed (it is NOT a pure function
+    of the current params), all RNG is fold_in(seed, step), and Adam state
+    round-trips — so run B (resume at 6, train to 12) must produce the same
+    step-12 params and grid as run A (12 straight).
+    Reference resume contract: trainer.py:670-696."""
+    from tests.test_loaders import _make_blender
+    from nerf_sandbox_tpu.scripts.train_nerf import main
+    scene = _make_blender(tmp_path / "scene", n_frames=2, size=16)
+
+    common = ["--data_root", str(scene), "--data_kind", "blender",
+              "--sampling", "occupancy", "--occ_res", "16",
+              "--occ_update_every", "4", "--occ_probes", "8",
+              "--n_layers", "2", "--hidden_dim", "32", "--skip_pos", "1",
+              "--max_steps", "12", "--rays_per_batch", "32", "--nc", "4",
+              "--nf", "8", "--num_val_steps", "1", "--ckpt_every", "6",
+              "--log_every", "6", "--progress_frames", "0",
+              "--eval_chunk", "128", "--seed", "3"]
+    a, b = tmp_path / "a", tmp_path / "b"
+    main(["--out_dir", str(a)] + common)
+    main(["--out_dir", str(b),
+          "--resume", str(a / "checkpoints" / "ckpt_0000006.ckpt")] + common)
+
+    fa = np.load(a / "checkpoints" / "ckpt_0000012.ckpt")
+    fb = np.load(b / "checkpoints" / "ckpt_0000012.ckpt")
+    keys = [k for k in fa.files if k != "__meta__"]
+    assert "extra||occ_grid" in keys
+    assert set(keys) == set(k for k in fb.files if k != "__meta__")
+    for k in keys:
+        np.testing.assert_allclose(fa[k], fb[k], rtol=0, atol=0,
+                                   err_msg=f"resume divergence in {k}")
+
+
+def test_gridless_checkpoint_falls_back_to_rebuild(tmp_path, capsys):
+    """Checkpoints from before the grid was saved (or after an --occ_res
+    change) resume via the zero-grid rebuild, not an error."""
+    from tests.test_loaders import _make_blender
+    from nerf_sandbox_tpu.scripts.train_nerf import main
+    from nerf_sandbox_tpu.train import checkpoints as ckpt
+    scene = _make_blender(tmp_path / "scene", n_frames=2, size=16)
+    common = ["--data_root", str(scene), "--data_kind", "blender",
+              "--sampling", "occupancy", "--occ_res", "16",
+              "--occ_update_every", "4", "--occ_probes", "8",
+              "--n_layers", "2", "--hidden_dim", "32", "--skip_pos", "1",
+              "--rays_per_batch", "32", "--nc", "4", "--nf", "8",
+              "--num_val_steps", "1", "--log_every", "8",
+              "--progress_frames", "0", "--eval_chunk", "128"]
+    out = tmp_path / "exp"
+    main(["--out_dir", str(out), "--max_steps", "8", "--ckpt_every", "8"]
+         + common)
+    # strip the grid from the checkpoint (simulate the old format)
+    p = out / "checkpoints" / "ckpt_0000008.ckpt"
+    with np.load(p, allow_pickle=False) as zf:
+        payload = {k: zf[k] for k in zf.files if not k.startswith("extra||")}
+    import io
+    buf = io.BytesIO()
+    np.savez(buf, **payload)
+    p.write_bytes(buf.getvalue())
+    assert ckpt.load_extras(p) == {}
+    capsys.readouterr()
+    main(["--out_dir", str(out), "--max_steps", "10", "--ckpt_every", "10",
+          "--resume", "latest"] + common)
+    assert (out / "checkpoints" / "ckpt_0000010.ckpt").exists()
+    assert "occupancy grid restored" not in capsys.readouterr().out
+
+
 def test_ndc_explore_floor_default(tmp_path):
     """Under NDC the trainer defaults occ_explore_frac 0.02 -> 0.5 (far-
     plane bootstrap, RESULTS.md); an explicit flag value is respected."""
