@@ -242,6 +242,17 @@ class Config:
     # LLFF prefers 64 (128 costs 1.5 dB) — RESULTS.md.
     prop_samples: int = 0
     interlevel_weight: float = 1.0
+    # mip-NeRF 360 proposal-resample anneal: resample weights w^b with
+    # b = Schlick-bias(step/anneal_steps, slope) ramping 0->1, so the
+    # untrained proposal resamples near-uniformly. 0 = off.
+    prop_anneal_steps: int = 0
+    prop_anneal_slope: float = 10.0
+    # mip-NeRF 360 scene contraction of encoder inputs: maps R^3 into the
+    # radius-2 ball (unbounded/360 scenes). Ignored under --use_ndc.
+    scene_contraction: bool = False
+    # Disparity-linear coarse/proposal sample spacing (bmild lindisp knob;
+    # the reference hard-codes False). Requires near > 0.
+    lindisp: bool = False
 
     # Encoder family (new — BASELINE config #5 stretch)
     # positional = reference parity; hashgrid = Instant-NGP tables
@@ -259,6 +270,10 @@ class Config:
     kp_line_res: int = 512
     kp_line_features: int = 16
     kp_aabb_scale: float = 1.5
+    # Eval-only plane downsample factor (1 = off): bilinear-resample the
+    # plane tables before full-image renders; 4x encode-FLOP cut per
+    # factor-2 (the eval tax is the 2QR^2F one-hot contraction).
+    eval_kp_pool: int = 1
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -404,6 +419,18 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="proposal samples/ray (0 -> --nc)")
     g.add_argument("--interlevel_weight", type=float,
                    default=d.interlevel_weight)
+    g.add_argument("--prop_anneal_steps", type=int,
+                   default=d.prop_anneal_steps,
+                   help="anneal proposal resampling toward the learned "
+                        "histogram over this many steps (0 = off)")
+    g.add_argument("--prop_anneal_slope", type=float,
+                   default=d.prop_anneal_slope)
+    g.add_argument("--scene_contraction", type=str2bool,
+                   default=d.scene_contraction,
+                   help="mip-NeRF 360 contraction of encoder inputs "
+                        "(unbounded scenes; ignored under --use_ndc)")
+    g.add_argument("--lindisp", type=str2bool, default=d.lindisp,
+                   help="disparity-linear coarse/proposal sample spacing")
 
     g = p.add_argument_group("encoder family")
     g.add_argument("--encoder", choices=["positional", "hashgrid", "kplanes"],
@@ -414,6 +441,11 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--hash_base_res", type=int, default=d.hash_base_res)
     g.add_argument("--hash_max_res", type=int, default=d.hash_max_res)
     g.add_argument("--hash_aabb_scale", type=float, default=d.hash_aabb_scale)
+    g.add_argument("--eval_kp_pool", type=int, default=d.eval_kp_pool,
+                   help="kplanes: downsample plane tables by this factor "
+                        "for EVAL renders only (the plane contraction is "
+                        "2QR^2F FLOPs — pool 2 cuts it 4x; training and "
+                        "checkpoints keep full resolution)")
     g.add_argument("--kp_plane_res", type=str, default=d.kp_plane_res,
                    help="kplanes: comma-separated multiscale plane resolutions")
     g.add_argument("--kp_plane_features", type=int, default=d.kp_plane_features)

@@ -72,3 +72,23 @@ def vanilla_encoders():
     pos = make_frequency_bands(10)
     dirs = make_frequency_bands(4)
     return pos, dirs
+
+
+def scene_contract(x: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+    """mip-NeRF 360 scene contraction (Barron et al. 2022, eq. 10).
+
+    contract(x) = x                         for ||x|| <= 1
+                = (2 - 1/||x||) * x/||x||   otherwise
+
+    Maps all of R^3 into the radius-2 ball: the unit ball is preserved,
+    everything beyond it lands in the [1, 2) shell with resolution
+    proportional to disparity. Applied to sample positions before the
+    positional/grid encoding (``--scene_contraction``) so unbounded scenes
+    keep bounded, well-scaled encoder inputs. Beyond-reference: the
+    reference handles unbounded forward-facing scenes only via the NDC
+    warp (ray_utils.py:92-126); contraction is the 360°/background
+    counterpart. Branchless (jnp.where) for jit.
+    """
+    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    n = jnp.maximum(n, eps)
+    return jnp.where(n <= 1.0, x, (2.0 - 1.0 / n) * (x / n))

@@ -25,12 +25,20 @@ import jax
 import jax.numpy as jnp
 
 
-def stratified_samples(near, far, n_samples: int, dtype=jnp.float32) -> jnp.ndarray:
+def stratified_samples(near, far, n_samples: int, dtype=jnp.float32,
+                       lindisp: bool = False) -> jnp.ndarray:
     """Uniform z template over [near, far], shape (n_samples,).
 
     Matches ``near*(1-t) + far*t`` with t = linspace(0,1,n) (trainer.py:901-902).
+    ``lindisp`` spaces samples uniformly in DISPARITY instead —
+    z = 1/lerp(1/near, 1/far, t) (the bmild nerf-pytorch ``lindisp`` knob;
+    the reference hard-codes False, compare_nerf_repos.py:756). Requires
+    near > 0; concentrates samples toward the camera for unbounded depth
+    ranges (pairs with --scene_contraction).
     """
     t = jnp.linspace(0.0, 1.0, n_samples, dtype=dtype)
+    if lindisp:
+        return 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
     return near * (1.0 - t) + far * t
 
 
@@ -132,17 +140,26 @@ def merge_z_samples(z_coarse: jnp.ndarray, z_fine: jnp.ndarray) -> jnp.ndarray:
 
 def resample_midpoints(z: jnp.ndarray, w: jnp.ndarray, n: int, *,
                        key=None, deterministic: bool = False,
-                       stop_grad: bool = True) -> jnp.ndarray:
+                       stop_grad: bool = True, power=None) -> jnp.ndarray:
     """Fine z's from a coarse pass's per-sample weights — the caller-side
     convention around ``sample_pdf`` (trainer.py:926-934): bins are the z
     midpoints, bin weights the averaged interval weights, detached, +1e-5
     floor.  One place for the convention (used by the hierarchical train
-    step, proposal mode, eval renderer, and diagnostics)."""
+    step, proposal mode, eval renderer, and diagnostics).
+
+    ``power`` (None = off): raise the padded bin weights to this exponent
+    before the inverse-CDF draw — the mip-NeRF 360 proposal *anneal*
+    (w^anneal with anneal ramping 0→1 flattens early resampling toward
+    uniform so the untrained proposal cannot starve scene regions of main
+    samples). May be a traced scalar; power=1 is bit-identical to off."""
     mids = 0.5 * (z[..., 1:] + z[..., :-1])
     wb = 0.5 * (w[..., 1:] + w[..., :-1])
     if stop_grad:
         wb = jax.lax.stop_gradient(wb)
-    return sample_pdf(mids, wb + 1e-5, n, key=key,
+    wb = wb + 1e-5
+    if power is not None:
+        wb = wb ** power
+    return sample_pdf(mids, wb, n, key=key,
                       deterministic=deterministic)
 
 

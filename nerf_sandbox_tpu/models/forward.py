@@ -51,6 +51,7 @@ def nerf_forward_pass(
     use_pallas: bool = False,
     pos_encoder: str = "freq",       # "freq" | "hashgrid" | "kplanes"
     enc_cfg=None,                    # HashGridConfig | KPlanesConfig
+    scene_contraction: bool = False,
 ):
     """Returns (composite_rgb (B,3), weights (B,N), acc (B,1), depth (B,1))."""
     B, N = z_vals.shape
@@ -60,6 +61,14 @@ def nerf_forward_pass(
     else:
         z_metric = z_vals * ray_norms.reshape(B, 1)
     pts = rays_o[:, None, :] + rays_d_unit[:, None, :] * z_metric[..., None]  # (B,N,3)
+
+    if scene_contraction:
+        # mip-NeRF 360 contraction: encode in the radius-2 contracted ball
+        # (z/depth integration stays metric — only the ENCODER sees the
+        # warped coordinates). Grid encoders must cover [-2,2]^3
+        # (aabb_scale=2; the trainer auto-sets this).
+        from nerf_sandbox_tpu.core.encoding import scene_contract
+        pts = scene_contract(pts)
 
     if viewdirs_world_unit is not None:
         vn = jnp.linalg.norm(viewdirs_world_unit, axis=-1, keepdims=True)

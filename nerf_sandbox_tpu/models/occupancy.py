@@ -102,7 +102,8 @@ def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig
                            pos_include_input: bool = True,
                            dir_include_input: bool = True,
                            pos_encoder: str = "freq", enc_cfg=None,
-                           compute_dtype=jnp.bfloat16, chunk: int = 65536):
+                           compute_dtype=jnp.bfloat16, chunk: int = 65536,
+                           scene_contraction: bool = False):
     """→ jitted ``update(grid, params, key) -> grid``.
 
     Queries the model's density at one jittered point per cell and applies
@@ -130,6 +131,11 @@ def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig
         pts = lo + u * (hi - lo)                                 # (R^3, 3)
 
         def density(pts_chunk):
+            if scene_contraction:
+                # grid cells live in world space; the MODEL's encoder sees
+                # contracted coords (forward.py) — probe the same way
+                from nerf_sandbox_tpu.core.encoding import scene_contract
+                pts_chunk = scene_contract(pts_chunk)
             if pos_encoder == "hashgrid":
                 from nerf_sandbox_tpu.models.hashgrid import hash_encode
                 enc_pos = hash_encode(params["pos_grid"], pts_chunk, enc_cfg)

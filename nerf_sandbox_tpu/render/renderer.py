@@ -73,6 +73,12 @@ class EvalHyper(NamedTuple):
     occ_cfg: object = None
     prop_model: object = None         # NeRFConfig of the proposal MLP
     n_prop_eval: int = 64
+    # mip-NeRF 360 contraction of encoder inputs (must match training;
+    # the fused Pallas kernel has no contraction path — the trainer forces
+    # the XLA eval branch when this is on)
+    scene_contraction: bool = False
+    # disparity-linear coarse/proposal sample spacing (must match training)
+    lindisp: bool = False
 
 
 def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
@@ -148,7 +154,8 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
                 sigma_activation=hyper.sigma_activation,
                 infinite_last_bin=hyper.infinite_last_bin,
                 compute_dtype=jnp.dtype(hyper.compute_dtype),
-                pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg)
+                pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg,
+                scene_contraction=hyper.scene_contraction)
 
         def forward(params, z):
             return forward_rays(params, rays_o, rays_d_unit, ray_norms,
@@ -171,7 +178,8 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
             # Only w_p is consumed → XLA DCEs the color branch under jit.
             zp = jnp.broadcast_to(
                 stratified_samples(hyper.samp_near, hyper.samp_far,
-                                   hyper.n_prop_eval), (T, hyper.n_prop_eval))
+                                   hyper.n_prop_eval, lindisp=hyper.lindisp),
+                (T, hyper.n_prop_eval))
             _, w_p, _, _ = nerf_forward_pass(
                 params_c, hyper.prop_model, rays_o, rays_d_unit, zp,
                 pos_bands=pos_bands, dir_bands=dir_bands,
@@ -181,14 +189,16 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
                 viewdirs_world_unit=viewdirs,
                 sigma_activation=hyper.sigma_activation,
                 infinite_last_bin=hyper.infinite_last_bin,
-                compute_dtype=jnp.dtype(hyper.compute_dtype))
+                compute_dtype=jnp.dtype(hyper.compute_dtype),
+                scene_contraction=hyper.scene_contraction)
             z = jnp.sort(resample_midpoints(zp, w_p, hyper.nf_eval,
                                             deterministic=True), axis=-1)
             comp, _, acc, depth = forward(params_f, z)
             return comp, acc, depth
 
         z = jnp.broadcast_to(
-            stratified_samples(hyper.samp_near, hyper.samp_far, hyper.nc_eval),
+            stratified_samples(hyper.samp_near, hyper.samp_far, hyper.nc_eval,
+                               lindisp=hyper.lindisp),
             (T, hyper.nc_eval))
         if hyper.perturb:
             z = perturb_z_samples(key, z)

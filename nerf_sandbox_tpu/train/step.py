@@ -63,6 +63,16 @@ class TrainHyper(NamedTuple):
     prop_model: Any = None            # NeRFConfig of the proposal MLP
     n_prop: int = 64                  # proposal samples per ray
     interlevel_weight: float = 1.0
+    # proposal resample anneal (mip-NeRF 360): resample weights are raised
+    # to power bias(step/anneal_steps, slope) which ramps 0→1 (Schlick
+    # bias) — early steps resample near-uniformly so the untrained
+    # proposal cannot starve scene regions. 0 = off.
+    prop_anneal_steps: int = 0
+    prop_anneal_slope: float = 10.0
+    # mip-NeRF 360 scene contraction of encoder inputs (unbounded scenes)
+    scene_contraction: bool = False
+    # disparity-linear coarse/proposal sample spacing (bmild lindisp knob)
+    lindisp: bool = False
 
 
 class TrainState(NamedTuple):
@@ -199,7 +209,8 @@ def _occupancy_loss(params_f, occ_grid, batch, key, hyper: TrainHyper,
         raw_noise_std=hyper.raw_noise_std, noise_key=k_noise,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
-        pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg)
+        pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg,
+        scene_contraction=hyper.scene_contraction)
 
     target = jnp.clip(jnp.nan_to_num(batch["rgb"]), 0.0, 1.0)
     loss_f = jnp.mean((comp_f - target) ** 2)
@@ -207,19 +218,22 @@ def _occupancy_loss(params_f, occ_grid, batch, key, hyper: TrainHyper,
 
 
 def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
-                   pos_bands, dir_bands):
+                   pos_bands, dir_bands, anneal=None):
     """Proposal-mode loss (mip-NeRF 360-style, beyond-reference).
 
     A small freq-encoded density MLP (``params_p``, the coarse slot)
     places ALL of the main model's samples; the proposal trains against
     the interlevel bound of the main histogram, the main model against
     MSE. Returns (interlevel_loss, mse_f) — the total is formed by the
-    caller as mse + interlevel_weight * il.
+    caller as mse + interlevel_weight * il. ``anneal`` (traced scalar in
+    [0,1] or None) flattens the resample distribution early in training
+    (w^anneal — core/sampling.py:resample_midpoints).
     """
     B = batch["rgb"].shape[0]
     k_perturb, k_pdf, k_noise = jax.random.split(key, 3)
 
-    z_tmpl = stratified_samples(hyper.samp_near, hyper.samp_far, hyper.n_prop)
+    z_tmpl = stratified_samples(hyper.samp_near, hyper.samp_far, hyper.n_prop,
+                                lindisp=hyper.lindisp)
     zp = perturb_z_samples(k_perturb,
                            jnp.broadcast_to(z_tmpl, (B, hyper.n_prop)))
 
@@ -238,10 +252,11 @@ def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
         viewdirs_world_unit=batch["rays_d_world_unit"],
         sigma_activation=hyper.sigma_activation,
         infinite_last_bin=hyper.infinite_last_bin,
-        compute_dtype=jnp.dtype(hyper.compute_dtype))
+        compute_dtype=jnp.dtype(hyper.compute_dtype),
+        scene_contraction=hyper.scene_contraction)
 
     zf = resample_midpoints(zp, w_p, hyper.nf, key=k_pdf,
-                            deterministic=hyper.det_fine)
+                            deterministic=hyper.det_fine, power=anneal)
     z = jnp.sort(jax.lax.stop_gradient(zf), axis=-1)
 
     comp_f, w_f, _, _ = nerf_forward_pass(
@@ -257,7 +272,8 @@ def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
         raw_noise_std=hyper.raw_noise_std, noise_key=k_noise,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
-        pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg)
+        pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg,
+        scene_contraction=hyper.scene_contraction)
 
     target = jnp.clip(jnp.nan_to_num(batch["rgb"]), 0.0, 1.0)
     mse_f = jnp.mean((comp_f - target) ** 2)
@@ -271,7 +287,8 @@ def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
     B = batch["rgb"].shape[0]
     k_perturb, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
 
-    z_tmpl = stratified_samples(hyper.samp_near, hyper.samp_far, hyper.nc)
+    z_tmpl = stratified_samples(hyper.samp_near, hyper.samp_far, hyper.nc,
+                                lindisp=hyper.lindisp)
     zc = perturb_z_samples(k_perturb, jnp.broadcast_to(z_tmpl, (B, hyper.nc)))
 
     fwd = partial(
@@ -285,7 +302,8 @@ def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
         raw_noise_std=hyper.raw_noise_std,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
-        pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg)
+        pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg,
+        scene_contraction=hyper.scene_contraction)
 
     comp_c, w_c, _, _ = fwd(params_c, hyper.model, batch["rays_o_marching"],
                             batch["rays_d_marching_unit"], zc,
@@ -367,7 +385,16 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
                                     hyper, pos_bands, dir_bands)
         return lf, lf
 
-    def prop_loss_fn(params_cf, batch, key):
+    def prop_loss_fn(params_cf, batch, key, step):
+        if hyper.prop_anneal_steps and hyper.prop_anneal_steps > 0:
+            # Schlick bias ramp 0→1 over anneal_steps (mip-NeRF 360 §3):
+            # b(x) = s·x / ((s-1)·x + 1); resample weights get w^b.
+            s = hyper.prop_anneal_slope
+            x = jnp.clip(step.astype(jnp.float32) / hyper.prop_anneal_steps,
+                         0.0, 1.0)
+            anneal = (s * x) / ((s - 1.0) * x + 1.0)
+        else:
+            anneal = None
         if hyper.micro_chunks and hyper.micro_chunks > 1:
             m = hyper.micro_chunks
             B = batch["rgb"].shape[0]
@@ -380,13 +407,14 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
                 sub_batch, k = xs
                 il, lf = _proposal_loss(params_cf["c"], params_cf["f"],
                                         sub_batch, k, hyper, pos_bands,
-                                        dir_bands)
+                                        dir_bands, anneal=anneal)
                 return (acc[0] + il / m, acc[1] + lf / m), None
 
             (il, lf), _ = jax.lax.scan(body, (0.0, 0.0), (chunked, keys))
         else:
             il, lf = _proposal_loss(params_cf["c"], params_cf["f"], batch,
-                                    key, hyper, pos_bands, dir_bands)
+                                    key, hyper, pos_bands, dir_bands,
+                                    anneal=anneal)
         return lf + hyper.interlevel_weight * il, lf
 
     occupancy = hyper.sampling_mode == "occupancy"
@@ -408,7 +436,8 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
         elif proposal:
             (loss, mse_f), grads = jax.value_and_grad(
                 prop_loss_fn, has_aux=True)(
-                {"c": state.params_c, "f": state.params_f}, batch, k_loss)
+                {"c": state.params_c, "f": state.params_f}, batch, k_loss,
+                step)
         else:
             (loss, mse_f), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 {"c": state.params_c, "f": state.params_f}, batch, k_loss)

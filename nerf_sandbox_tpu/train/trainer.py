@@ -160,22 +160,44 @@ class Trainer:
         self.dir_bands = jnp.asarray(make_frequency_bands(cfg.dir_num_freqs))
         self.pos_encoder = (cfg.encoder if cfg.encoder in ("hashgrid", "kplanes")
                             else "freq")
+        self.scene_contraction = bool(getattr(cfg, "scene_contraction", False))
+        if self.scene_contraction and self.use_ndc:
+            # NDC already maps the frustum into a bounded box; composing the
+            # two warps double-compresses depth for no benefit.
+            print("[cfg] note: --scene_contraction with --use_ndc is "
+                  "redundant (NDC is already bounded); contraction disabled")
+            self.scene_contraction = False
+        self.lindisp = bool(getattr(cfg, "lindisp", False))
+        if self.lindisp and self.samp_near <= 0:
+            raise ValueError(
+                f"--lindisp needs near > 0 (got near={self.samp_near}); "
+                "disparity spacing divides by z")
         self.enc_cfg = None
         if self.pos_encoder == "hashgrid":
             from nerf_sandbox_tpu.models.hashgrid import HashGridConfig
+            aabb = float(cfg.hash_aabb_scale)
+            if self.scene_contraction and aabb < 2.0:
+                print("[cfg] scene_contraction: hash_aabb_scale raised to "
+                      "2.0 (contracted coords span the radius-2 ball)")
+                aabb = 2.0
             self.enc_cfg = HashGridConfig(
                 n_levels=cfg.hash_levels, n_features=cfg.hash_features,
                 log2_table_size=cfg.hash_log2_size, base_res=cfg.hash_base_res,
-                max_res=cfg.hash_max_res, aabb_scale=cfg.hash_aabb_scale)
+                max_res=cfg.hash_max_res, aabb_scale=aabb)
             enc_pos_dim = self.enc_cfg.out_dim
         elif self.pos_encoder == "kplanes":
             from nerf_sandbox_tpu.models.kplanes import KPlanesConfig
+            aabb = float(cfg.kp_aabb_scale)
+            if self.scene_contraction and aabb < 2.0:
+                print("[cfg] scene_contraction: kp_aabb_scale raised to "
+                      "2.0 (contracted coords span the radius-2 ball)")
+                aabb = 2.0
             self.enc_cfg = KPlanesConfig(
                 plane_res=tuple(int(r) for r in
                                 str(cfg.kp_plane_res).split(",") if r),
                 plane_features=cfg.kp_plane_features,
                 line_res=cfg.kp_line_res, line_features=cfg.kp_line_features,
-                aabb_scale=cfg.kp_aabb_scale)
+                aabb_scale=aabb)
             enc_pos_dim = self.enc_cfg.out_dim
         else:
             enc_pos_dim = encoder_out_dim(3, cfg.pos_num_freqs,
@@ -277,7 +299,11 @@ class Trainer:
             pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
             sampling_mode=self.sampling_mode, occ_cfg=self.occ_cfg,
             prop_model=self.prop_model, n_prop=n_prop,
-            interlevel_weight=float(cfg.interlevel_weight))
+            interlevel_weight=float(cfg.interlevel_weight),
+            prop_anneal_steps=int(getattr(cfg, "prop_anneal_steps", 0) or 0),
+            prop_anneal_slope=float(getattr(cfg, "prop_anneal_slope", 10.0)),
+            scene_contraction=self.scene_contraction,
+            lindisp=self.lindisp)
 
         sched_params = dict(cfg.lr_scheduler_params or {})
         sched_params.setdefault("T_max", cfg.max_steps)
@@ -328,9 +354,27 @@ class Trainer:
                 pos_include_input=cfg.pos_include_input,
                 dir_include_input=cfg.dir_include_input,
                 pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
-                compute_dtype=jnp.dtype(cfg.compute_dtype))
+                compute_dtype=jnp.dtype(cfg.compute_dtype),
+                scene_contraction=self.scene_contraction)
 
         # ---- eval renderer ----
+        # kplanes eval-only plane pooling (--eval_kp_pool): the plane
+        # contraction is 2QR^2F FLOPs — the dominant eval cost for this
+        # family (VERDICT r2 #4). Training keeps full resolution; eval
+        # renders resample the tables down (models/kplanes.py).
+        self.eval_enc_cfg = self.enc_cfg
+        self._kp_pool = int(getattr(cfg, "eval_kp_pool", 1) or 1)
+        if self._kp_pool > 1 and self.pos_encoder == "kplanes":
+            pooled = tuple(max(4, r // self._kp_pool)
+                           for r in self.enc_cfg.plane_res)
+            self.eval_enc_cfg = self.enc_cfg._replace(plane_res=pooled)
+            print(f"[eval] kplanes planes {self.enc_cfg.plane_res} -> "
+                  f"{pooled} for eval renders (--eval_kp_pool "
+                  f"{self._kp_pool})")
+        elif self._kp_pool > 1:
+            print("[cfg] note: --eval_kp_pool has no effect without "
+                  "--encoder kplanes")
+            self._kp_pool = 1
         self.eval_hyper = EvalHyper(
             model=self.model_cfg, nc_eval=cfg.nc, nf_eval=cfg.nf,
             white_bkgd=cfg.white_bkgd, sigma_activation=cfg.sigma_activation,
@@ -342,10 +386,12 @@ class Trainer:
             use_pallas=self._pallas_eval_ok(),
             eval_fine_frac=float(getattr(cfg, "eval_fine_frac", 1.0)),
             eval_ert_eps=float(getattr(cfg, "eval_ert_eps", 0.0)),
-            pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
+            pos_encoder=self.pos_encoder, enc_cfg=self.eval_enc_cfg,
             sampling_mode=self.sampling_mode, occ_cfg=self.occ_cfg,
             prop_model=self.prop_model,
-            n_prop_eval=(n_prop or 64))
+            n_prop_eval=(n_prop or 64),
+            scene_contraction=self.scene_contraction,
+            lindisp=self.lindisp)
         self.render_tile = make_tile_renderer(
             self.eval_hyper, self.pos_bands, self.dir_bands, plan=self.plan)
 
@@ -463,7 +509,8 @@ class Trainer:
             spec = self.spec._replace(rays_per_batch=n_rays)
             batch = sample_ray_batch(key, jnp.int32(step), self.scene_arrays, spec)
             z = jnp.broadcast_to(
-                stratified_samples(self.samp_near, self.samp_far, self.cfg.nc),
+                stratified_samples(self.samp_near, self.samp_far, self.cfg.nc,
+                                   lindisp=self.lindisp),
                 (n_rays, self.cfg.nc))
             _, w_c, _, _ = nerf_forward_pass(
                 self.state.params_c, self.model_cfg, batch["rays_o_marching"],
@@ -476,7 +523,8 @@ class Trainer:
                 viewdirs_world_unit=batch["rays_d_world_unit"],
                 sigma_activation=self.cfg.sigma_activation,
                 infinite_last_bin=bool(self.cfg.infinite_last_bin),
-                pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg)
+                pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
+                scene_contraction=self.scene_contraction)
             zf = resample_midpoints(z, w_c, self.cfg.nf, deterministic=True)
             # the hit metric needs the same bins/weights the sampler saw
             bins_mid = 0.5 * (z[:, 1:] + z[:, :-1])
@@ -503,6 +551,9 @@ class Trainer:
                     and fusable(self.model_cfg)
                     and self.pos_encoder == "freq"
                     and data_only
+                    # the kernel encodes raw marching points — it has no
+                    # contraction warp, so contracted scenes use XLA eval
+                    and not self.scene_contraction
                     # the kernel's matmuls are bf16 by design; an explicit
                     # --compute_dtype float32 must get true-fp32 XLA eval
                     and str(self.cfg.compute_dtype) == "bfloat16")
@@ -599,12 +650,27 @@ class Trainer:
     # training loop
     # ------------------------------------------------------------------
 
+    def _pool_eval_grid(self, params):
+        """Eval-only kplanes plane pooling (--eval_kp_pool): resample the
+        pos_grid tables to the eval resolution. A handful of R'xR matmuls —
+        negligible next to the render it precedes."""
+        if (self._kp_pool <= 1 or not isinstance(params, dict)
+                or "pos_grid" not in params):
+            return params
+        from nerf_sandbox_tpu.models.kplanes import resize_kplanes_params
+        pooled, _ = resize_kplanes_params(params["pos_grid"], self.enc_cfg,
+                                          self.eval_enc_cfg.plane_res)
+        out = dict(params)
+        out["pos_grid"] = pooled
+        return out
+
     def eval_params(self):
         """(coarse-slot, fine params) for eval renders — the coarse slot
         carries the occupancy grid in occupancy mode."""
         if self.sampling_mode == "occupancy":
-            return self.occ_grid, self.state.params_f
-        return self.state.params_c, self.state.params_f
+            return self.occ_grid, self._pool_eval_grid(self.state.params_f)
+        return (self._pool_eval_grid(self.state.params_c),
+                self._pool_eval_grid(self.state.params_f))
 
     def _maybe_update_occupancy(self, step: int) -> None:
         if self.occ_update is None:

@@ -195,6 +195,18 @@ def main():
         results.append(_bench_variant(
             trk, hk, "kplanes+occupancy eval (XLA, 3x64 MLP)",
             n_reps=args.frames))
+        # eval-only plane pooling (--eval_kp_pool): 4x encode-FLOP cut per
+        # factor 2 (the 2QR^2F plane contraction dominates this family's
+        # eval cost — VERDICT r2 #4)
+        for pool in (2, 4):
+            trp = _load(args.data_root, args.kp_dir,
+                        extra=["--sampling", "occupancy",
+                               "--encoder", "kplanes",
+                               "--eval_kp_pool", str(pool)])
+            results.append(_bench_variant(
+                trp, trp.eval_hyper._replace(use_pallas=False),
+                f"kplanes+occupancy eval, planes pooled {pool}x",
+                n_reps=args.frames))
 
     print(json.dumps(results))
 

@@ -68,6 +68,69 @@ def test_gradients_reach_every_plane_and_line():
         assert float(jnp.abs(v).max()) > 0.0, f"no gradient reached {k}"
 
 
+def test_resize_identity_and_linear_exactness():
+    """Same-res resize is exact; a LINEAR plane field resamples exactly at
+    any resolution (the bilinear kernel reproduces affine functions), so
+    eval pooling only loses content above the pooled Nyquist rate."""
+    from nerf_sandbox_tpu.models.kplanes import resize_kplanes_params
+    params = init_kplanes_params(jax.random.PRNGKey(0), CFG)
+    same, cfg_same = resize_kplanes_params(params, CFG, CFG.plane_res)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(same[k]),
+                                      np.asarray(params[k]))
+    assert cfg_same.plane_res == CFG.plane_res
+
+    # linear field on the 16-res scale: f(u,v) = 2u - v per feature offset
+    lin = dict(params)
+    R = 16
+    u = np.linspace(0, 1, R, dtype=np.float32)
+    for name in ("xy", "xz", "yz"):
+        f = (2.0 * u[:, None] - u[None, :])[..., None].repeat(4, -1)
+        lin[f"plane1_{name}"] = jnp.asarray(f)
+    small, cfg_small = resize_kplanes_params(lin, CFG, (8, 8))
+    assert cfg_small.plane_res == (8, 8)
+    u8 = np.linspace(0, 1, 8, dtype=np.float32)
+    expect = (2.0 * u8[:, None] - u8[None, :])[..., None].repeat(4, -1)
+    np.testing.assert_allclose(np.asarray(small["plane1_xy"]), expect,
+                               atol=1e-5)
+
+    # encoding with the pooled tables approximates the full-res encoding
+    # for smooth content (the N(1, 0.1) init is low-frequency-ish): check
+    # the pooled cfg/params pair is consistent and finite end-to-end
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (64, 3),
+                             minval=-0.9, maxval=0.9)
+    out = kplanes_encode(small, pts, cfg_small, compute_dtype=jnp.float32)
+    assert out.shape == (64, cfg_small.out_dim)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_eval_kp_pool_cli(tmp_path):
+    """--eval_kp_pool pools plane tables for validation renders only:
+    training state and checkpoints keep full resolution."""
+    from tests.test_loaders import _make_blender
+    from nerf_sandbox_tpu.scripts.train_nerf import main
+    root = _make_blender(tmp_path / "scene", n_frames=2, size=16)
+    out = tmp_path / "exp"
+    main(["--data_root", str(root), "--out_dir", str(out),
+          "--data_kind", "blender", "--max_steps", "4",
+          "--rays_per_batch", "32", "--nc", "4", "--nf", "4",
+          "--n_layers", "2", "--hidden_dim", "32", "--skip_pos", "1",
+          "--encoder", "kplanes", "--kp_plane_res", "8,16",
+          "--kp_plane_features", "4", "--kp_line_res", "32",
+          "--kp_line_features", "4", "--eval_kp_pool", "2",
+          "--num_val_steps", "1", "--ckpt_every", "4", "--log_every", "2",
+          "--eval_chunk", "64"])
+    assert (out / "checkpoints" / "ckpt_0000004.ckpt").exists()
+    val = out / "validation" / "val_idx0000"
+    assert list((val / "rgb").glob("step_*.png"))
+    # checkpoint keeps FULL-res tables
+    ck = np.load(out / "checkpoints" / "ckpt_0000004.ckpt",
+                 allow_pickle=True)
+    kk = [k for k in ck.files
+          if "plane1_xy" in k and k.startswith("params_f")]
+    assert kk and ck[kk[0]].shape[0] == 16
+
+
 def test_cli_train_smoke(tmp_path):
     """--encoder kplanes end-to-end: train, validate, checkpoint, resume."""
     from tests.test_loaders import _make_blender

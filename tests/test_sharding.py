@@ -39,6 +39,47 @@ def test_param_sharding_specs_alternate():
     assert s1 == jax.sharding.PartitionSpec("model", None)
 
 
+def test_tp_wide_model_memory_capacity():
+    """The capability TP actually buys on this workload: per-device PARAM
+    MEMORY. A wide trunk (hidden 1024 — 8x the vanilla param count; wide
+    NeRF variants and big grid tables are the real TP audience) sharded
+    4-way over ``model`` must hold only 1/4 of each sharded layer per
+    device, and the TP train step must still match replicated numerics.
+    Perf on this 2.4M-param vanilla model is NOT claimed (COVERAGE #27:
+    plumbing/memory-capacity scaffolding, unmeasurable without >1 real
+    chip)."""
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig, init_nerf_params
+    plan = make_mesh_2d(2, 4)
+    cfg = NeRFConfig(63, 27, n_layers=4, hidden_dim=1024, skip_pos=2)
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    sharded = apply_param_shardings(plan, params)
+
+    w0 = sharded["trunk"][0]["w"]              # column-parallel (1024 out)
+    assert w0.shape == (63, 1024)
+    shard_shapes = {s.data.shape for s in w0.addressable_shards}
+    assert shard_shapes == {(63, 256)}         # 1/4 of the out dim per device
+    w1 = sharded["trunk"][1]["w"]              # row-parallel (1024 in)
+    assert {s.data.shape for s in w1.addressable_shards} == {(256, 1024)}
+
+    # layer-4 (skip concat input 1024+63=1087, not divisible) stays whole
+    w2 = sharded["trunk"][2]["w"]
+    assert w2.shape == (1024 + 63, 1024)
+
+    # numerics: TP forward == replicated forward on the same inputs
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+    from nerf_sandbox_tpu.models.mlp import nerf_apply
+    pos_b, dir_b = vanilla_encoders()
+    from nerf_sandbox_tpu.core.encoding import positional_encoding
+    pts = jax.random.normal(jax.random.PRNGKey(1), (64, 3))
+    dirs = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+    ep = positional_encoding(pts, jnp.asarray(pos_b))
+    ed = positional_encoding(dirs, jnp.asarray(dir_b))
+    out_rep = nerf_apply(params, cfg, ep, ed)
+    out_tp = jax.jit(lambda p: nerf_apply(p, cfg, ep, ed))(sharded)
+    np.testing.assert_allclose(np.asarray(out_rep), np.asarray(out_tp),
+                               atol=2e-5)
+
+
 def test_sharded_eval_render():
     from nerf_sandbox_tpu.core.encoding import vanilla_encoders
     from nerf_sandbox_tpu.models.mlp import NeRFConfig, init_nerf_params
