@@ -194,6 +194,9 @@ class Config:
     use_pallas: bool = True
     # Eval fine-ray culling: refine only this fraction of rays per tile
     # (ranked by coarse opacity); the rest keep the coarse composite.
+    # In occupancy mode: evaluate the model only on this fraction of rays
+    # (ranked by occupied probe-bin count); the rest composite directly to
+    # background — the grid already proved those rays cross nothing.
     # 1.0 = reference semantics (refine every ray).
     eval_fine_frac: float = 1.0
     # Early ray termination in the fused eval kernel: a 128-ray tile skips
@@ -467,7 +470,9 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--use_pallas", type=str2bool, default=d.use_pallas)
     g.add_argument("--eval_fine_frac", type=float, default=d.eval_fine_frac,
                    help="Refine only this fraction of eval rays (by coarse "
-                        "opacity); 1.0 = refine all (reference semantics)")
+                        "opacity; in occupancy mode: evaluate only this "
+                        "fraction, ranked by occupied probe bins, rest = "
+                        "background); 1.0 = refine all (reference semantics)")
     g.add_argument("--eval_ert_eps", type=float, default=d.eval_ert_eps,
                    help="Early-ray-termination transmittance threshold in "
                         "the fused eval kernel; 0.0 = march every sample")

@@ -37,6 +37,9 @@ class HashGridConfig(NamedTuple):
     base_res: int = 16
     max_res: int = 512
     aabb_scale: float = 1.0     # world coords in [-aabb_scale, aabb_scale]^3
+    chunk: int = 131072         # internal Q-chunk: bounds the (L, Q, 8, ...)
+                                # corner intermediates (unchunked, a 2M-point
+                                # eval tile built >16GB of them — HBM OOM)
 
     @property
     def out_dim(self) -> int:
@@ -79,7 +82,24 @@ _CORNERS = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1],
 
 def hash_encode(tables: jnp.ndarray, pts_world: jnp.ndarray,
                 cfg: HashGridConfig) -> jnp.ndarray:
-    """Encode world points (Q, 3) → (Q, L·F)."""
+    """Encode world points (Q, 3) → (Q, L·F).
+
+    Chunked over Q (lax.map) so the (L, Q, 8, ...) corner/weight
+    intermediates stay bounded at any tile size (eval renders hand this
+    2M+ points per tile)."""
+    Q = pts_world.shape[0]
+    if Q > cfg.chunk:
+        n_chunks = -(-Q // cfg.chunk)
+        pad = n_chunks * cfg.chunk - Q
+        xp = jnp.pad(pts_world, ((0, pad), (0, 0))).reshape(
+            n_chunks, cfg.chunk, 3)
+        out = jax.lax.map(lambda xc: _hash_encode_chunk(tables, xc, cfg), xp)
+        return out.reshape(n_chunks * cfg.chunk, cfg.out_dim)[:Q]
+    return _hash_encode_chunk(tables, pts_world, cfg)
+
+
+def _hash_encode_chunk(tables: jnp.ndarray, pts_world: jnp.ndarray,
+                       cfg: HashGridConfig) -> jnp.ndarray:
     x01 = jnp.clip(pts_world / (2.0 * cfg.aabb_scale) + 0.5, 0.0, 1.0)
     resolutions = jnp.asarray(cfg.level_resolutions(), jnp.float32)   # (L,)
 

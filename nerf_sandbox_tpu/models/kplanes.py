@@ -106,14 +106,15 @@ def resize_kplanes_params(params: dict, cfg: KPlanesConfig,
 
 def _interp_weights(u01: jnp.ndarray, R: int) -> jnp.ndarray:
     """(Q,) coords in [0,1] → (Q, R) linear-interp weight rows
-    (two adjacent non-zeros: 1-frac at u0, frac at u0+1)."""
+    (two adjacent non-zeros: 1-frac at u0, frac at u0+1).
+
+    Closed-form hat function relu(1 - |u(R-1) - i|) — identical values to
+    the two-one-hot blend (for u in [0, R-1] the hat is exactly 1-frac at
+    floor(u) and frac at floor(u)+1) in one fused VPU expression instead
+    of two compare/select one-hot builds."""
     u = u01 * (R - 1)
-    u0 = jnp.clip(jnp.floor(u), 0, R - 2)
-    frac = (u - u0)[:, None]
-    i0 = u0.astype(jnp.int32)
-    oh0 = jax.nn.one_hot(i0, R, dtype=u01.dtype)
-    oh1 = jax.nn.one_hot(i0 + 1, R, dtype=u01.dtype)
-    return oh0 * (1.0 - frac) + oh1 * frac
+    i = jnp.arange(R, dtype=u01.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u[:, None] - i[None, :]))
 
 
 def _encode_chunk(params: dict, x01: jnp.ndarray, cfg: KPlanesConfig,

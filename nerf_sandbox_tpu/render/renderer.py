@@ -53,7 +53,10 @@ class EvalHyper(NamedTuple):
     use_pallas: bool = False
     # Fine-ray culling: refine only the ceil(frac*T) rays with the highest
     # coarse opacity; the rest keep the coarse composite (identical result
-    # for empty-background rays). 1.0 = reference semantics (refine all).
+    # for empty-background rays). In occupancy mode: evaluate the model on
+    # the ceil(frac*T) rays with the most occupied probe bins; the rest
+    # composite directly to background (the grid certified them empty).
+    # 1.0 = reference semantics (refine all).
     eval_fine_frac: float = 1.0
     # Early ray termination inside the fused kernel: skip a ray tile's
     # remaining sample chunks once every ray's transmittance < eps (error
@@ -167,6 +170,35 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
             probe_z, probe_w = ray_probe_weights(
                 occ_grid, hyper.occ_cfg, rays_o, rays_d_unit, ray_norms,
                 hyper.samp_near, hyper.samp_far)
+
+            frac = float(hyper.eval_fine_frac)
+            if 0.0 < frac < 1.0:
+                # Empty-ray culling (occupancy analogue of the hierarchical
+                # eval_fine_frac block below): evaluate the model only on
+                # the K rays whose occupancy probe crossed the most occupied
+                # cells; the rest composite directly to background. A ray
+                # with ZERO occupied probe bins would otherwise spend
+                # nf_eval model evals on explore-floor samples in certified-
+                # empty space and composite to ~background anyway — the
+                # grid already proved there is nothing to integrate.
+                m = 8 * plan.n_devices
+                K = min(T, max(m, -(-int(T * frac) // m) * m))
+                # probe_w = occupied + explore floor (occupancy.py:94-97):
+                # its row sum is monotone in the occupied-bin count.
+                order = jnp.argsort(-jnp.sum(probe_w, axis=-1))
+                top = order[:K]
+                z = jnp.sort(sample_pdf(probe_z[top], probe_w[top],
+                                        hyper.nf_eval, deterministic=True),
+                             axis=-1)
+                comp_s, _, acc_s, depth_s = forward_rays(
+                    params_f, rays_o[top], rays_d_unit[top],
+                    ray_norms[top], viewdirs[top], z)
+                bg = 1.0 if hyper.white_bkgd else 0.0
+                comp = jnp.full((T, 3), bg, comp_s.dtype).at[top].set(comp_s)
+                acc = jnp.zeros((T, 1), acc_s.dtype).at[top].set(acc_s)
+                depth = jnp.zeros((T, 1), depth_s.dtype).at[top].set(depth_s)
+                return comp, acc, depth
+
             z = jnp.sort(sample_pdf(probe_z, probe_w, hyper.nf_eval,
                                     deterministic=True), axis=-1)
             comp, _, acc, depth = forward(params_f, z)

@@ -39,18 +39,22 @@ def _trainer_for(data_root, out_dir, extra=()):
     cli_main(argv)
 
 
-def _load(data_root, out_dir, extra=()):
+def _load(data_root, out_dir, extra=(), vanilla=True):
+    """``vanilla=False`` skips the profile (it force-overrides model-shape
+    flags like --n_layers/--hidden_dim — wrong for non-vanilla runs such
+    as the small-MLP kplanes recipe)."""
     from nerf_sandbox_tpu.config import (apply_path_defaults,
                                          apply_vanilla_profile,
                                          build_argparser, make_cfg_from_args)
     from nerf_sandbox_tpu.train.trainer import Trainer
-    argv = ["--data_root", data_root, "--out_dir", out_dir, "--vanilla",
-            *extra]
+    argv = ["--data_root", data_root, "--out_dir", out_dir,
+            *(["--vanilla"] if vanilla else []), *extra]
     cfg = make_cfg_from_args(build_argparser().parse_args(argv))
     cfg.data_kind = "blender"
     if cfg.centering is None:
         cfg.centering = "none"
-    cfg = apply_vanilla_profile(cfg)
+    if vanilla:
+        cfg = apply_vanilla_profile(cfg)
     cfg = apply_path_defaults(cfg, "blender")
     tr = Trainer(cfg)
     step = tr.load_latest_checkpoint(load_optim=False)
@@ -148,6 +152,13 @@ def main():
                     help="out_dir of an occupancy-mode run to bench")
     ap.add_argument("--kp_dir", default=None,
                     help="out_dir of a kplanes+occupancy run to bench")
+    ap.add_argument("--occ_extra", default="",
+                    help="extra trainer flags for the occupancy run (e.g. "
+                         "'--occ_aabb_scale 2.5' to match its training box)")
+    ap.add_argument("--kp_extra", default="",
+                    help="extra trainer flags for the kplanes run (e.g. "
+                         "'--n_layers 3 --hidden_dim 64 --skip_pos 1' for "
+                         "the fast-family small-MLP recipe)")
     ap.add_argument("--skip_hier", action="store_true",
                     help="skip the hierarchical variants")
     ap.add_argument("--frames", type=int, default=3)
@@ -177,23 +188,33 @@ def main():
 
     if args.occ_dir:
         tro = _load(args.data_root, args.occ_dir,
-                    extra=["--sampling", "occupancy"])
+                    extra=["--sampling", "occupancy",
+                           *args.occ_extra.split()])
         ho = tro.eval_hyper
         for hyper, label in [
             (ho._replace(use_pallas=True, eval_ert_eps=0.0),
              "occupancy eval (128 samples), fused"),
             (ho._replace(use_pallas=True, eval_ert_eps=1e-4),
              "occupancy eval + ERT"),
+            (ho._replace(use_pallas=True, eval_ert_eps=1e-4,
+                         eval_fine_frac=0.5),
+             "occupancy eval + ERT + cull 0.5"),
         ]:
             results.append(_bench_variant(tro, hyper, label,
                                           n_reps=args.frames))
 
     if args.kp_dir:
+        kp_extra = args.kp_extra.split()
         trk = _load(args.data_root, args.kp_dir,
-                    extra=["--sampling", "occupancy", "--encoder", "kplanes"])
+                    extra=["--sampling", "occupancy", "--encoder", "kplanes",
+                           *kp_extra], vanilla=not kp_extra)
         hk = trk.eval_hyper._replace(use_pallas=False)  # XLA (kplanes enc)
         results.append(_bench_variant(
-            trk, hk, "kplanes+occupancy eval (XLA, 3x64 MLP)",
+            trk, hk, "kplanes+occupancy eval (XLA)",
+            n_reps=args.frames))
+        results.append(_bench_variant(
+            trk, hk._replace(eval_fine_frac=0.5),
+            "kplanes+occupancy eval + cull 0.5",
             n_reps=args.frames))
         # eval-only plane pooling (--eval_kp_pool): 4x encode-FLOP cut per
         # factor 2 (the 2QR^2F plane contraction dominates this family's
@@ -201,8 +222,9 @@ def main():
         for pool in (2, 4):
             trp = _load(args.data_root, args.kp_dir,
                         extra=["--sampling", "occupancy",
-                               "--encoder", "kplanes",
-                               "--eval_kp_pool", str(pool)])
+                               "--encoder", "kplanes", *kp_extra,
+                               "--eval_kp_pool", str(pool)],
+                        vanilla=not kp_extra)
             results.append(_bench_variant(
                 trp, trp.eval_hyper._replace(use_pallas=False),
                 f"kplanes+occupancy eval, planes pooled {pool}x",

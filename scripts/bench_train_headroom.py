@@ -90,21 +90,20 @@ def main():
 
     def timed(fn):
         @jax.jit
-        def loop(e):
-            def body(_, x):
-                out = fn(x)
+        def loop(eps0):
+            def body(_, eps):
+                out = fn(ep + eps)
                 # chain: feed a scalar of the output back into the input
-                return e + jnp.float32(1e-12) * out.sum()
-            return jax.lax.fori_loop(0, ITERS, body, e[0, 0])
-        float(loop(ep))                        # compile+warm
+                return jnp.float32(1e-12) * out.sum()
+            return jax.lax.fori_loop(0, ITERS, body, eps0)
+        float(loop(jnp.float32(0.0)))          # compile+warm
         t0 = time.perf_counter()
-        float(loop(ep + jnp.float32(1e-6)))
+        float(loop(jnp.float32(1e-6)))
         return 1e3 * (time.perf_counter() - t0) / ITERS
 
     xla_ms = timed(lambda e: nerf_apply(
-        params, model, ep + e - e[0, 0], ed, compute_dtype=jnp.bfloat16))
-    pallas_ms = timed(lambda e: fused_nerf_apply(
-        params, model, ep + e - e[0, 0], ed))
+        params, model, e, ed, compute_dtype=jnp.bfloat16))
+    pallas_ms = timed(lambda e: fused_nerf_apply(params, model, e, ed))
 
     headroom = 3.0 * max(0.0, xla_ms - pallas_ms) / step_ms
     print(json.dumps({

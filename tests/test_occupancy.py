@@ -275,3 +275,52 @@ def test_ndc_explore_floor_default(tmp_path):
     # an explicit 0.02 (the world-space auto value) is respected too
     tr3 = Trainer(mk(base + ["--occ_explore_frac", "0.02"]))
     assert tr3.occ_cfg.explore_frac == 0.02
+
+
+def test_occupancy_eval_culling_contract():
+    """--eval_fine_frac in occupancy mode: rays crossing occupied cells
+    match the full eval exactly; rays the grid certifies empty composite
+    directly to background."""
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig, init_nerf_params
+    from nerf_sandbox_tpu.render.renderer import EvalHyper, make_tile_renderer
+
+    R = CFG.resolution
+    grid = jnp.zeros((R ** 3,))
+    idx = jnp.arange(R ** 3)
+    grid = jnp.where(idx % R == 3, 100.0, grid)   # slab z in [-0.25, 0)
+
+    model = NeRFConfig(63, 27, n_layers=2, hidden_dim=32, skip_pos=1)
+    pos_b, dir_b = vanilla_encoders()
+    pf = init_nerf_params(jax.random.PRNGKey(1), model)
+
+    T = 32
+    # first half: +z rays through the box (cross the occupied slab);
+    # second half: same rays displaced to x=5 (entirely outside the box)
+    xy = jax.random.uniform(jax.random.PRNGKey(2), (T // 2, 2),
+                            minval=-0.5, maxval=0.5)
+    o_in = jnp.concatenate([xy, jnp.full((T // 2, 1), -2.0)], axis=-1)
+    o_out = o_in.at[:, 0].add(5.0)
+    o = jnp.concatenate([o_in, o_out])
+    d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (T, 3))
+    rn = jnp.ones((T, 1))
+    key = jax.random.PRNGKey(3)
+
+    def run(frac):
+        hyp = EvalHyper(model=model, nf_eval=8, samp_near=1.0, samp_far=3.0,
+                        white_bkgd=True, compute_dtype="float32",
+                        sampling_mode="occupancy", occ_cfg=CFG,
+                        eval_fine_frac=frac)
+        tile = make_tile_renderer(hyp, jnp.asarray(pos_b), jnp.asarray(dir_b))
+        return tile(grid, pf, o, d, rn, d, key)
+
+    full = run(1.0)
+    culled = run(0.5)
+
+    content, empty = np.arange(T // 2), np.arange(T // 2, T)
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(culled[i])[content],
+                                   np.asarray(full[i])[content], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(culled[0])[empty], 1.0)  # white bg
+    np.testing.assert_allclose(np.asarray(culled[1])[empty], 0.0)  # acc
+    np.testing.assert_allclose(np.asarray(culled[2])[empty], 0.0)  # depth
