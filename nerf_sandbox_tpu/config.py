@@ -186,6 +186,11 @@ class Config:
     # >1: hierarchical 2-D (dcn_data x ici_data) data mesh for multi-slice
     # jobs — grad all-reduce decomposes ICI-first (parallel/mesh.py).
     mesh_slices: int = 0
+    # Shard the training image bank over the mesh's data axes (frame dim):
+    # per-device HBM /= n_devices, per-host disk decode /= n_processes
+    # (loaders skip non-owned frames); pixel fetch = masked local gather +
+    # one (B, C) psum. "auto" = on under multi-process, off otherwise.
+    shard_scene: str = "auto"
     compute_dtype: str = "bfloat16"    # MLP matmul dtype on TPU
     # Fused Pallas ray-march (encode+MLP+composite in one VMEM kernel) for
     # eval renders: 1.34x the XLA path on v5e (RESULTS.md). Default ON;
@@ -466,6 +471,11 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--mesh_slices", type=int, default=d.mesh_slices,
                    help=">1: hierarchical dcn_data x ici_data mesh for "
                         "multi-slice jobs")
+    g.add_argument("--shard_scene", choices=["auto", "true", "false"],
+                   default=d.shard_scene,
+                   help="Frame-shard the training image bank over the mesh "
+                        "(HBM /= devices; multi-process hosts only decode "
+                        "their own frames). auto = on when multi-process")
     g.add_argument("--compute_dtype", choices=["bfloat16", "float32"], default=d.compute_dtype)
     g.add_argument("--use_pallas", type=str2bool, default=d.use_pallas)
     g.add_argument("--eval_fine_frac", type=float, default=d.eval_fine_frac,

@@ -64,7 +64,11 @@ class BlenderSceneLoader:
 
     # ---------- public API ----------
 
-    def load(self, split: str = "train") -> Scene:
+    def load(self, split: str = "train", image_filter=None) -> Scene:
+        """``image_filter(i, n) -> bool``: frames it rejects keep pose/K but
+        get a ZERO image — the per-host data-sharding path (``--shard_scene``
+        multi-process) where each host only decodes the frames its devices
+        own.  Frame 0 is always decoded (it is the shape/channel probe)."""
         tf_path = self.root / f"transforms_{split}.json"
         if not tf_path.exists():
             raise FileNotFoundError(f"Could not find transforms file: {tf_path}")
@@ -75,9 +79,15 @@ class BlenderSceneLoader:
         H, W = first.shape[:2]
         K = self._intrinsics(W, H, float(meta["camera_angle_x"]))
 
+        n_split = len(frames_meta)
         images, c2ws = [], []
-        for fr in frames_meta:
-            images.append(self._read_image(self._resolve_image_path(fr["file_path"])))
+        for i, fr in enumerate(frames_meta):
+            if i == 0:
+                images.append(first)
+            elif image_filter is None or image_filter(i, n_split):
+                images.append(self._read_image(self._resolve_image_path(fr["file_path"])))
+            else:
+                images.append(np.zeros(first.shape, np.float32))
             c2ws.append(np.array(fr["transform_matrix"], dtype=np.float32))
 
         c2ws = np.stack(c2ws, axis=0)                       # (N, 4, 4)

@@ -184,7 +184,12 @@ class LLFFSceneLoader:
 
     # ---------- public API ----------
 
-    def load(self, split: str = "train") -> Scene:
+    def load(self, split: str = "train", image_filter=None) -> Scene:
+        """``image_filter(i, n) -> bool`` (i = index within the returned
+        split): frames it rejects keep pose/K but get a ZERO image — the
+        per-host data-sharding path (``--shard_scene`` multi-process) where
+        each host only decodes the frames its devices own.  The first frame
+        is always decoded (shape/channel probe)."""
         poses, bounds, files, img_dir, factor = self._load_raw()
 
         sc = 1.0 / (float(bounds.min()) * self.bd_factor)
@@ -205,11 +210,17 @@ class LLFFSceneLoader:
         use_idx = i_train if split == "train" else i_test
 
         frames: List[Frame] = []
-        for i in use_idx.tolist():
+        probe_shape = None
+        n_split = len(use_idx)
+        for j, i in enumerate(use_idx.tolist()):
             H = int(round(poses[i, 0, 4]))
             W = int(round(poses[i, 1, 4]))
             f = float(poses[i, 2, 4])
-            img = self._read_image_gamma(img_dir / files[i])
+            if image_filter is None or j == 0 or image_filter(j, n_split):
+                img = self._read_image_gamma(img_dir / files[i])
+                probe_shape = img.shape
+            else:
+                img = np.zeros(probe_shape, np.float32)
             c2w = np.eye(4, dtype=np.float32)
             c2w[:3, :4] = poses[i, :, :4]
             K = np.array([[f, 0.0, 0.5 * W],

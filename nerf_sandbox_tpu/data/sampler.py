@@ -34,22 +34,27 @@ from nerf_sandbox_tpu.data.scene import Scene
 
 
 class SceneArrays(NamedTuple):
-    """The whole scene stacked into device-resident arrays."""
+    """The whole scene stacked into device-resident arrays.
 
-    images: jnp.ndarray   # (N, H, W, C) uint8
+    ``images`` may be frame-PADDED (to a multiple of the mesh's data-device
+    count) when built by :meth:`from_scene_sharded`; ``Ks``/``c2ws`` always
+    carry the real frame count, so ``n_frames`` reads from them.
+    """
+
+    images: jnp.ndarray   # (N_pad, H, W, C) uint8
     Ks: jnp.ndarray       # (N, 3, 3) float32
     c2ws: jnp.ndarray     # (N, 3, 4) float32
 
     @property
     def n_frames(self) -> int:
-        return self.images.shape[0]
+        return self.Ks.shape[0]
 
     @property
     def hw(self):
         return self.images.shape[1], self.images.shape[2]
 
     @staticmethod
-    def from_scene(scene: Scene) -> "SceneArrays":
+    def _stack_numpy(scene: Scene):
         imgs = []
         for f in scene.frames:
             img = np.asarray(f.image)
@@ -59,7 +64,48 @@ class SceneArrays(NamedTuple):
         images = np.stack(imgs, axis=0)
         Ks = np.stack([np.asarray(f.K, np.float32) for f in scene.frames])
         c2ws = np.stack([f.c2w_3x4() for f in scene.frames])
+        return images, Ks, c2ws
+
+    @staticmethod
+    def from_scene(scene: Scene) -> "SceneArrays":
+        images, Ks, c2ws = SceneArrays._stack_numpy(scene)
         return SceneArrays(jnp.asarray(images), jnp.asarray(Ks), jnp.asarray(c2ws))
+
+    @staticmethod
+    def from_scene_sharded(scene: Scene, plan) -> "SceneArrays":
+        """Build a FRAME-SHARDED scene bank on the plan's mesh.
+
+        The image bank — by far the dominant scene memory (N·H·W·C vs 21
+        floats of camera data per frame) — is sharded over the mesh's data
+        axes along the frame dimension, dividing per-device HBM by the data
+        device count; ``Ks``/``c2ws`` stay replicated (the in-jit one-hot
+        camera lookup needs them everywhere, and they are tiny).  Frames are
+        zero-padded to an equal split.  Under multi-process execution each
+        process materialises ONLY the frame blocks its addressable devices
+        own (``jax.make_array_from_callback``) — paired with the loaders'
+        ``image_filter`` this is per-host data loading: no host ever decodes
+        or stores frames it doesn't serve.  The reference has no analogue
+        (single-process; its closest knob is CPU-pinned image caching,
+        samplers.py:94-114); this is the SURVEY §5 DCN-scale data path.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        images, Ks, c2ws = SceneArrays._stack_numpy(scene)
+        mesh = plan.mesh
+        assert mesh is not None, "from_scene_sharded needs a mesh"
+        data_axes = tuple(a for a in mesh.axis_names if a != "model")
+        D = int(np.prod([mesh.shape[a] for a in data_axes]))
+        N = images.shape[0]
+        per = -(-N // D)
+        pad = D * per - N
+        if pad:
+            images = np.concatenate(
+                [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
+        sh = NamedSharding(mesh, P(data_axes, None, None, None))
+        imgs = jax.make_array_from_callback(
+            images.shape, sh, lambda idx: images[idx])
+        rep = NamedSharding(mesh, P())
+        return SceneArrays(imgs, jax.device_put(jnp.asarray(Ks), rep),
+                           jax.device_put(jnp.asarray(c2ws), rep))
 
 
 class RayBatchSpec(NamedTuple):
@@ -75,6 +121,9 @@ class RayBatchSpec(NamedTuple):
     single_frame: bool = False
     precrop_iters: int = 0
     precrop_frac: float = 0.5
+    # Image bank is frame-sharded over the mesh (from_scene_sharded);
+    # the pixel fetch becomes a shard_map masked local gather + psum.
+    shard_frames: bool = False
 
 
 def _crop_bounds(step, spec: RayBatchSpec):
@@ -100,10 +149,45 @@ def _crop_bounds(step, spec: RayBatchSpec):
     return h0, h1, w0, w1
 
 
-@partial(jax.jit, static_argnames=("spec",))
+def _sharded_pixel_gather(images: jnp.ndarray, fids, ys, xs, mesh) -> jnp.ndarray:
+    """Pixel fetch from a FRAME-SHARDED image bank → (B, C) float 0..255.
+
+    Each device gathers the whole batch's pixels from its local frame block
+    (out-of-range rows masked to zero) and one psum over the data axes fills
+    every row from its owner — B·C floats of collective traffic per step
+    (KBs), vs replicating N·H·W·C images into every device's HBM.  The
+    frame→device mapping is the mesh's row-major data-axis order, matching
+    ``from_scene_sharded``'s axis-0 NamedSharding layout.
+    """
+    from jax.sharding import PartitionSpec as P
+    data_axes = tuple(a for a in mesh.axis_names if a != "model")
+    D = int(np.prod([mesh.shape[a] for a in data_axes]))
+    per = images.shape[0] // D
+
+    def local(imgs, f, y, x):
+        idx = jnp.int32(0)
+        for ax in data_axes:
+            idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+        lo = idx * per
+        loc = jnp.clip(f - lo, 0, per - 1)
+        vals = imgs[loc, y, x].astype(jnp.float32)            # (B, C)
+        mask = ((f >= lo) & (f < lo + per)).astype(jnp.float32)
+        return jax.lax.psum(vals * mask[:, None], data_axes)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(data_axes, None, None, None), P(), P(), P()),
+        out_specs=P(), check_vma=False)(images, fids, ys, xs)
+
+
+@partial(jax.jit, static_argnames=("spec", "plan"))
 def sample_ray_batch(key: jax.Array, step: jnp.ndarray, scene: SceneArrays,
-                     spec: RayBatchSpec) -> dict:
-    """Draw one training batch of rays. Pure; runs inside the train step."""
+                     spec: RayBatchSpec, plan=None) -> dict:
+    """Draw one training batch of rays. Pure; runs inside the train step.
+
+    ``plan`` (static MeshPlan) is only consulted when ``spec.shard_frames``
+    — the frame-sharded image bank needs the mesh for its gather.
+    """
     B = spec.rays_per_batch
     n_frames = scene.n_frames
     k_fid, k_y, k_x = jax.random.split(key, 3)
@@ -118,7 +202,13 @@ def sample_ray_batch(key: jax.Array, step: jnp.ndarray, scene: SceneArrays,
     ys = jax.random.randint(k_y, (B,), h0, h1)
     xs = jax.random.randint(k_x, (B,), w0, w1)
 
-    pix = scene.images[fids, ys, xs].astype(jnp.float32) / 255.0   # (B, C)
+    if spec.shard_frames:
+        assert plan is not None and plan.mesh is not None, \
+            "spec.shard_frames requires a mesh plan"
+        pix = _sharded_pixel_gather(scene.images, fids, ys, xs,
+                                    plan.mesh) / 255.0         # (B, C)
+    else:
+        pix = scene.images[fids, ys, xs].astype(jnp.float32) / 255.0   # (B, C)
     if pix.shape[-1] == 4:
         if spec.white_bkgd:
             rgb = pix[..., :3] * pix[..., 3:4] + (1.0 - pix[..., 3:4])

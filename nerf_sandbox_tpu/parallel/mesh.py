@@ -138,6 +138,27 @@ def batch_sharding(plan: MeshPlan) -> Optional[NamedSharding]:
     return NamedSharding(plan.mesh, P(data_axes))
 
 
+def owned_frame_rows(plan: MeshPlan, n_frames: int) -> set:
+    """Frame indices this PROCESS's devices own under the frame-sharded
+    scene bank (``SceneArrays.from_scene_sharded``'s axis-0 layout, frames
+    zero-padded to an equal split over the data axes).  Drives the loaders'
+    ``image_filter`` so each host only decodes its own frames."""
+    mesh = plan.mesh
+    if mesh is None:
+        return set(range(n_frames))
+    data_axes = tuple(a for a in mesh.axis_names if a != "model")
+    D = int(np.prod([mesh.shape[a] for a in data_axes]))
+    per = -(-n_frames // D)
+    sh = NamedSharding(mesh, P(data_axes, None, None, None))
+    me = jax.process_index()
+    owned: set = set()
+    for dev, idx in sh.devices_indices_map((D * per, 1, 1, 1)).items():
+        if dev.process_index == me:
+            sl = idx[0]
+            owned.update(range(sl.start or 0, min(sl.stop or D * per, n_frames)))
+    return owned
+
+
 def replicated_sharding(plan: MeshPlan) -> Optional[NamedSharding]:
     if plan.mesh is None:
         return None

@@ -22,8 +22,14 @@ import argparse
 import json
 
 
-def build_problem(n_devices_hint: int = 8):
-    """Deterministic tiny scene + hyper/spec (identical on every process)."""
+def build_problem(shard_plan=None):
+    """Deterministic tiny scene + hyper/spec (identical on every process).
+
+    ``shard_plan``: build the image bank FRAME-SHARDED on that mesh and —
+    proving the per-host data-loading contract — ZERO every frame this
+    process does not own before building (the sharded gather must never
+    read them, so the losses still match the replicated run exactly).
+    """
     import jax.numpy as jnp
     import numpy as np
 
@@ -42,16 +48,28 @@ def build_problem(n_devices_hint: int = 8):
         c2w[:3, 3] = [0.1 * i, 0.0, 4.0]
         frames.append(Frame(image=rng.uniform(0, 1, (H, W, 3)).astype(np.float32),
                             K=K, c2w=c2w))
-    scene = SceneArrays.from_scene(Scene(frames=frames))
+    if shard_plan is not None:
+        from nerf_sandbox_tpu.parallel.mesh import owned_frame_rows
+        owned = owned_frame_rows(shard_plan, len(frames))
+        frames = [f if i in owned else
+                  Frame(image=np.zeros_like(np.asarray(f.image)),
+                        K=f.K, c2w=f.c2w)
+                  for i, f in enumerate(frames)]
+        scene = SceneArrays.from_scene_sharded(Scene(frames=frames),
+                                               shard_plan)
+    else:
+        scene = SceneArrays.from_scene(Scene(frames=frames))
     model = NeRFConfig(enc_pos_dim=63, enc_dir_dim=27, n_layers=2,
                        hidden_dim=32, skip_pos=1)
     hyper = TrainHyper(model=model, nc=8, nf=8, samp_near=2.0, samp_far=6.0)
-    spec = RayBatchSpec(rays_per_batch=128, image_h=H, image_w=W)
+    spec = RayBatchSpec(rays_per_batch=128, image_h=H, image_w=W,
+                        shard_frames=shard_plan is not None)
     pos_b, dir_b = vanilla_encoders()
     return scene, hyper, spec, jnp.asarray(pos_b), jnp.asarray(dir_b)
 
 
-def run_steps(steps: int = 3, devices=None, multiprocess: bool = False):
+def run_steps(steps: int = 3, devices=None, multiprocess: bool = False,
+              shard_scene: bool = False):
     """Build the mesh over (global) devices, run ``steps`` train steps,
     return the per-step loss list."""
     import jax
@@ -61,14 +79,16 @@ def run_steps(steps: int = 3, devices=None, multiprocess: bool = False):
     from nerf_sandbox_tpu.train.step import (
         build_train_step, init_train_state, make_optimizer)
 
-    scene, hyper, spec, pos_b, dir_b = build_problem()
     plan = make_mesh(devices if devices is not None else jax.devices())
+    scene, hyper, spec, pos_b, dir_b = build_problem(
+        shard_plan=plan if shard_scene else None)
     tx = make_optimizer(5e-4, "cosine", {"T_max": 100, "eta_min": 5e-6})
     state = init_train_state(jax.random.PRNGKey(0), hyper, tx,
                              near=2.0, far=6.0)
     if multiprocess:
         state = replicate_to_mesh(plan, state)
-        scene = replicate_to_mesh(plan, scene)
+        if not shard_scene:
+            scene = replicate_to_mesh(plan, scene)
     step_fn = build_train_step(hyper, spec, tx, pos_b, dir_b, plan=plan,
                                base_seed=42)
     losses = []
@@ -84,6 +104,9 @@ def main(argv=None) -> int:
     ap.add_argument("--num_processes", type=int, default=0)
     ap.add_argument("--process_id", type=int, default=-1)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--shard_scene", action="store_true",
+                    help="frame-shard the image bank; each process zeroes "
+                         "(never reads) frames it does not own")
     args = ap.parse_args(argv)
 
     import jax
@@ -94,7 +117,8 @@ def main(argv=None) -> int:
     # fp32 matmuls so losses are bit-comparable across runs (CPU oneDNN and
     # TPU both default to reduced precision)
     jax.config.update("jax_default_matmul_precision", "highest")
-    losses = run_steps(args.steps, multiprocess=jax.process_count() > 1)
+    losses = run_steps(args.steps, multiprocess=jax.process_count() > 1,
+                       shard_scene=args.shard_scene)
     print(json.dumps({"process": jax.process_index(),
                       "n_processes": jax.process_count(),
                       "global_devices": jax.device_count(),

@@ -425,7 +425,7 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
         key = jax.random.fold_in(base_key, step)
         k_batch, k_loss = jax.random.split(key)
 
-        batch = sample_ray_batch(k_batch, step, scene, spec)
+        batch = sample_ray_batch(k_batch, step, scene, spec, plan=plan)
         batch = shard_batch_constraint(plan, batch)
 
         if occupancy:

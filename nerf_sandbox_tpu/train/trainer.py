@@ -80,6 +80,37 @@ class Trainer:
                 self.out_dir = self.out_dir / f"proc{dist.process_index()}"
         self.out_dir.mkdir(parents=True, exist_ok=True)
 
+        # ---- mesh (before data: the frame-sharded scene bank and the
+        #      per-host image_filter need the device layout) ----
+        devices = jax.devices()
+        if cfg.mesh_devices and cfg.mesh_devices > 0:
+            devices = devices[:cfg.mesh_devices]
+        n_slices = int(getattr(cfg, "mesh_slices", 0) or 0)
+        if n_slices > 1:
+            from nerf_sandbox_tpu.parallel.mesh import make_mesh_multihost
+            assert len(devices) % n_slices == 0, \
+                f"{len(devices)} devices not divisible by {n_slices} slices"
+            self.plan = make_mesh_multihost(n_slices,
+                                            len(devices) // n_slices,
+                                            devices)
+        else:
+            self.plan = make_mesh(devices)
+        print(f"[mesh] {self.plan.n_devices} device(s), "
+              f"backend={jax.default_backend()}"
+              + (f", {n_slices} slices (dcn_data x ici_data)"
+                 if n_slices > 1 else ""))
+
+        # Frame-sharded scene bank: HBM /= data devices, host decode /=
+        # processes. "auto" = only when multi-process (single-process
+        # replication is free and keeps the gather local).
+        shard_pref = str(getattr(cfg, "shard_scene", "auto")).lower()
+        self.shard_scene = (shard_pref == "true" or
+                            (shard_pref == "auto" and dist.is_multiprocess()))
+        if self.shard_scene and self.plan.mesh is None:
+            print("[data] note: --shard_scene needs a multi-device mesh; "
+                  "keeping the replicated scene bank")
+            self.shard_scene = False
+
         # ---- data ----
         kind = (cfg.data_kind or "auto").lower()
         if kind == "auto":
@@ -101,14 +132,26 @@ class Trainer:
         self.camera_convention = cfg.camera_convention or \
             getattr(self.loader, "camera_convention", "opengl")
 
-        self.scene_train = self.loader.load("train")
+        img_filter = None
+        if self.shard_scene and dist.is_multiprocess():
+            # Per-host data loading: only decode the train frames this
+            # process's devices own (the sharded bank never reads the rest).
+            from nerf_sandbox_tpu.parallel.mesh import owned_frame_rows
+
+            def img_filter(i, n, _plan=self.plan):
+                return i in owned_frame_rows(_plan, n)
+
+        self.scene_train = self.loader.load("train", image_filter=img_filter)
         try:
             self.scene_val = self.loader.load("val")
         except FileNotFoundError:
             try:
                 self.scene_val = self.loader.load("test")
             except FileNotFoundError:
-                self.scene_val = self.scene_train
+                # filtered train frames have zero images — reload unfiltered
+                # for validation GT
+                self.scene_val = (self.loader.load("train")
+                                  if img_filter else self.scene_train)
         if len(self.scene_val) == 0:
             self.scene_val = self.scene_train
 
@@ -135,25 +178,6 @@ class Trainer:
               f"ndc_near_plane_world={self.ndc_near_plane_world:.3f} "
               f"samp=[{self.samp_near:.3f},{self.samp_far:.3f}] "
               f"world=[{self.near_world:.3f},{self.far_world:.3f}]")
-
-        # ---- mesh ----
-        devices = jax.devices()
-        if cfg.mesh_devices and cfg.mesh_devices > 0:
-            devices = devices[:cfg.mesh_devices]
-        n_slices = int(getattr(cfg, "mesh_slices", 0) or 0)
-        if n_slices > 1:
-            from nerf_sandbox_tpu.parallel.mesh import make_mesh_multihost
-            assert len(devices) % n_slices == 0, \
-                f"{len(devices)} devices not divisible by {n_slices} slices"
-            self.plan = make_mesh_multihost(n_slices,
-                                            len(devices) // n_slices,
-                                            devices)
-        else:
-            self.plan = make_mesh(devices)
-        print(f"[mesh] {self.plan.n_devices} device(s), "
-              f"backend={jax.default_backend()}"
-              + (f", {n_slices} slices (dcn_data x ici_data)"
-                 if n_slices > 1 else ""))
 
         # ---- encoders / model config ----
         self.pos_bands = jnp.asarray(make_frequency_bands(cfg.pos_num_freqs))
@@ -211,7 +235,19 @@ class Trainer:
         # ---- sampler spec (vanilla forces N_rand=1024 single-frame/precrop;
         #      trainer.py:277-306) ----
         rays_per_batch = 1024 if cfg.vanilla else int(cfg.rays_per_batch)
-        self.scene_arrays = SceneArrays.from_scene(self.scene_train)
+        if self.shard_scene:
+            self.scene_arrays = SceneArrays.from_scene_sharded(
+                self.scene_train, self.plan)
+            n_img = self.scene_arrays.images.shape[0]
+            hw = self.scene_arrays.hw
+            c = self.scene_arrays.images.shape[-1]
+            mb = n_img * hw[0] * hw[1] * c / 1e6
+            print(f"[data] image bank frame-sharded over "
+                  f"{self.plan.n_devices} device(s): "
+                  f"{mb:.0f} MB total -> {mb / self.plan.n_devices:.0f} "
+                  f"MB/device")
+        else:
+            self.scene_arrays = SceneArrays.from_scene(self.scene_train)
         self.spec = RayBatchSpec(
             rays_per_batch=rays_per_batch,
             image_h=self.scene_train.H, image_w=self.scene_train.W,
@@ -220,7 +256,8 @@ class Trainer:
             single_frame=bool(cfg.sample_from_single_frame or
                               (cfg.vanilla and self.is_llff)),
             precrop_iters=int(cfg.precrop_iters),
-            precrop_frac=float(cfg.precrop_frac))
+            precrop_frac=float(cfg.precrop_frac),
+            shard_frames=self.shard_scene)
 
         # ---- sampling strategy (occupancy grid replaces the coarse pass) ----
         self.sampling_mode = str(cfg.sampling or "hierarchical")
@@ -353,8 +390,9 @@ class Trainer:
             # (deterministic init / shared dataset), so each process's full
             # copy supplies its addressable shards.
             self.state = dist.replicate_to_mesh(self.plan, self.state)
-            self.scene_arrays = dist.replicate_to_mesh(self.plan,
-                                                       self.scene_arrays)
+            if not self.shard_scene:
+                self.scene_arrays = dist.replicate_to_mesh(self.plan,
+                                                           self.scene_arrays)
             if self.occ_grid is not None:
                 self.occ_grid = dist.replicate_to_mesh(self.plan,
                                                        self.occ_grid)
@@ -496,13 +534,13 @@ class Trainer:
         try:
             if not hasattr(self, "_ray_norm_fn"):
                 from nerf_sandbox_tpu.data.sampler import sample_ray_batch
-                spec, seed = self.spec, self.cfg.seed
+                spec, seed, plan = self.spec, self.cfg.seed, self.plan
 
                 @jax.jit
                 def _stats(scene, step):
                     key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
                     k_batch, _ = jax.random.split(key)
-                    b = sample_ray_batch(k_batch, step, scene, spec)
+                    b = sample_ray_batch(k_batch, step, scene, spec, plan=plan)
                     w, m = b["rays_d_world_norm"], b["rays_d_marching_norm"]
                     return (w.min(), w.max(), m.min(), m.max())
                 self._ray_norm_fn = _stats
@@ -529,7 +567,8 @@ class Trainer:
 
             key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 7), step)
             spec = self.spec._replace(rays_per_batch=n_rays)
-            batch = sample_ray_batch(key, jnp.int32(step), self.scene_arrays, spec)
+            batch = sample_ray_batch(key, jnp.int32(step), self.scene_arrays,
+                                     spec, plan=self.plan)
             z = jnp.broadcast_to(
                 stratified_samples(self.samp_near, self.samp_far, self.cfg.nc,
                                    lindisp=self.lindisp),

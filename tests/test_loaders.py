@@ -121,6 +121,36 @@ def test_llff_load_and_holdout(tmp_path):
     np.testing.assert_allclose(centers.mean(0), 0.0, atol=1e-4)
 
 
+def test_loaders_image_filter_skips_decode(tmp_path):
+    """``image_filter`` (per-host data sharding): rejected frames keep
+    pose/K but carry a zero image; poses and count are unchanged; frame 0
+    is always decoded (shape probe)."""
+    from nerf_sandbox_tpu.data.blender_loader import BlenderSceneLoader
+    root = _make_blender(tmp_path / "scene", n_frames=4)
+    full = BlenderSceneLoader(root).load("train")
+    filt = BlenderSceneLoader(root).load(
+        "train", image_filter=lambda i, n: i % 2 == 0)
+    assert len(filt) == len(full) == 4
+    for i, (a, b) in enumerate(zip(full.frames, filt.frames)):
+        np.testing.assert_array_equal(a.c2w, b.c2w)
+        if i % 2 == 0:
+            np.testing.assert_array_equal(a.image, b.image)
+        else:
+            assert float(np.abs(b.image).max()) == 0.0
+
+    lroot = _make_llff(tmp_path / "fern")
+    lfull = LLFFSceneLoader(lroot).load("train")
+    lfilt = LLFFSceneLoader(lroot).load(
+        "train", image_filter=lambda i, n: i < 2)
+    assert len(lfilt) == len(lfull)
+    for i, (a, b) in enumerate(zip(lfull.frames, lfilt.frames)):
+        np.testing.assert_array_equal(a.c2w, b.c2w)
+        if i < 2:
+            np.testing.assert_array_equal(a.image, b.image)
+        else:
+            assert float(np.abs(b.image).max()) == 0.0
+
+
 def test_llff_periodic_holdout(tmp_path):
     root = _make_llff(tmp_path / "fern")
     loader = LLFFSceneLoader(root, holdout_every=3)

@@ -153,6 +153,79 @@ def test_sharded_fused_eval_matches_xla_and_single_device():
                                        err_msg=f"fused vs xla {extra}")
 
 
+def test_sharded_scene_gather_matches_replicated():
+    """Frame-sharded image bank (--shard_scene): the shard_map masked
+    gather + psum pixel fetch returns bit-identical batches to the
+    replicated gather — including with a frame count (5) that does not
+    divide the 8-device mesh (zero-padding never selected)."""
+    from tests.test_train_step import _scene
+    from nerf_sandbox_tpu.data.sampler import (
+        RayBatchSpec, SceneArrays, sample_ray_batch)
+
+    plan = make_mesh()
+    assert plan.n_devices == 8
+    scene = _scene(n=5)
+    rep = SceneArrays.from_scene(scene)
+    shd = SceneArrays.from_scene_sharded(scene, plan)
+    assert shd.n_frames == 5                       # real count from Ks
+    assert shd.images.shape[0] == 8                # padded to the mesh
+    # every device holds exactly one frame block
+    assert {s.data.shape[0] for s in shd.images.addressable_shards} == {1}
+
+    for single in (False, True):
+        spec = RayBatchSpec(rays_per_batch=256, image_h=16, image_w=16,
+                            single_frame=single)
+        b_rep = sample_ray_batch(jax.random.PRNGKey(0), jnp.int32(3), rep,
+                                 spec)
+        b_shd = sample_ray_batch(jax.random.PRNGKey(0), jnp.int32(3), shd,
+                                 spec._replace(shard_frames=True), plan=plan)
+        for k in b_rep:
+            np.testing.assert_array_equal(
+                np.asarray(b_rep[k]), np.asarray(b_shd[k]),
+                err_msg=f"{k} single_frame={single}")
+
+
+def test_sharded_scene_train_step_matches_replicated():
+    """Full train step on the 8-device mesh with the frame-sharded bank ==
+    the replicated-bank step (same seed → identical batches → identical
+    loss)."""
+    from tests.test_train_step import _scene, _setup
+    from nerf_sandbox_tpu.data.sampler import SceneArrays
+
+    plan = make_mesh()
+    s1, f1, arrs = _setup(batch=128, mesh=plan)
+    s1, m1 = f1(s1, arrs)
+
+    import jax.numpy as jnp_
+    from tests.test_train_step import (NeRFConfig, RayBatchSpec, TrainHyper,
+                                       build_train_step, init_train_state,
+                                       make_optimizer, vanilla_encoders)
+    scene = _scene()
+    shd = SceneArrays.from_scene_sharded(scene, plan)
+    model = NeRFConfig(enc_pos_dim=63, enc_dir_dim=27, n_layers=2,
+                       hidden_dim=64, skip_pos=1)
+    hyper = TrainHyper(model=model, nc=16, nf=16, samp_near=2.0, samp_far=6.0)
+    spec = RayBatchSpec(rays_per_batch=128, image_h=16, image_w=16,
+                        shard_frames=True)
+    tx = make_optimizer(5e-4, "cosine", {"T_max": 100, "eta_min": 5e-6})
+    s2 = init_train_state(jax.random.PRNGKey(0), hyper, tx, near=2.0, far=6.0)
+    pos_b, dir_b = vanilla_encoders()
+    f2 = build_train_step(hyper, spec, tx, jnp_.asarray(pos_b),
+                          jnp_.asarray(dir_b), plan=plan)
+    s2, m2 = f2(s2, shd)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+
+
+def test_owned_frame_rows_partition():
+    """Every frame is owned by exactly one process (single-process: all),
+    and the union covers the real frame range for non-divisible counts."""
+    from nerf_sandbox_tpu.parallel.mesh import owned_frame_rows
+    plan = make_mesh()
+    assert owned_frame_rows(plan, 5) == set(range(5))
+    assert owned_frame_rows(plan, 100) == set(range(100))
+
+
 def test_driver_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
