@@ -241,6 +241,11 @@ class Config:
     # None = auto: 0.02 in world space, 0.5 under NDC (far-plane bootstrap
     # — RESULTS.md). An explicit value is always respected.
     occ_explore_frac: Optional[float] = None
+    # >0: blend probe weights toward uniform by max(0, 1 - step/anneal) —
+    # step 0 samples exactly stratified, pure grid-driven by this step.
+    # Bootstraps density everywhere before the grid concentrates the
+    # budget (the NDC far-plane fix, generalizing the static floor).
+    occ_explore_anneal: int = 0
     # proposal mode (mip-NeRF 360-style): a small density MLP places the
     # main model's samples; trained with the interlevel bound loss.
     prop_layers: int = 2
@@ -255,6 +260,11 @@ class Config:
     # untrained proposal resamples near-uniformly. 0 = off.
     prop_anneal_steps: int = 0
     prop_anneal_slope: float = 10.0
+    # mip-NeRF 360 distortion loss (L_dist §4) on the fine/main weights:
+    # compacts each ray's histogram; THE floater/fog fix for unbounded
+    # scenes (measured on tests/make_360_scene.py — RESULTS.md). Applies
+    # in every sampling mode. 0 = off (reference semantics).
+    distortion_weight: float = 0.0
     # mip-NeRF 360 scene contraction of encoder inputs: maps R^3 into the
     # radius-2 ball (unbounded/360 scenes). Ignored under --use_ndc.
     scene_contraction: bool = False
@@ -421,6 +431,10 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--occ_probes", type=int, default=d.occ_probes)
     g.add_argument("--occ_aabb_scale", type=float, default=d.occ_aabb_scale)
     g.add_argument("--occ_explore_frac", type=float, default=d.occ_explore_frac)
+    g.add_argument("--occ_explore_anneal", type=int,
+                   default=d.occ_explore_anneal,
+                   help="anneal probe weights from stratified to "
+                        "grid-driven over this many steps (0 = off)")
     g.add_argument("--prop_layers", type=int, default=d.prop_layers)
     g.add_argument("--prop_hidden", type=int, default=d.prop_hidden)
     g.add_argument("--prop_samples", type=int, default=d.prop_samples,
@@ -433,6 +447,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "histogram over this many steps (0 = off)")
     g.add_argument("--prop_anneal_slope", type=float,
                    default=d.prop_anneal_slope)
+    g.add_argument("--distortion_weight", type=float,
+                   default=d.distortion_weight,
+                   help="mip-NeRF 360 distortion loss weight on the "
+                        "fine/main weights (floater fix for unbounded "
+                        "scenes; try 0.01-0.1)")
     g.add_argument("--scene_contraction", type=str2bool,
                    default=d.scene_contraction,
                    help="mip-NeRF 360 contraction of encoder inputs "

@@ -14,8 +14,8 @@ TPU-static design (no dynamic shapes, unlike CUDA NerfAcc):
 * the grid is training STATE, not a parameter: updated every
   ``update_every`` steps by querying the fine model's density at jittered
   cell centers and taking ``max(grid * decay, sigma)`` (the Instant-NGP
-  EMA rule); it is cheap to rebuild after resume, so it is not
-  checkpointed
+  EMA rule); it is checkpointed alongside the params (train/checkpoints.py
+  ``extra`` slot) so resume is bit-exact
 * an ``explore_frac`` floor keeps a fraction of probability mass uniform
   so unoccupied space keeps receiving samples (the grid can recover from
   false negatives).
@@ -69,11 +69,20 @@ def grid_values(grid: jnp.ndarray, cfg: OccupancyConfig,
 def ray_probe_weights(grid: jnp.ndarray, cfg: OccupancyConfig,
                       rays_o: jnp.ndarray, rays_d_unit: jnp.ndarray,
                       ray_norms: jnp.ndarray, samp_near: float,
-                      samp_far: float):
+                      samp_far: float, uniform_blend=None):
     """→ (probe_mids (B, P), weights (B, P)): density profile along rays.
 
     Probes sit at bin midpoints of a uniform partition of [near, far];
     an ``explore_frac`` of the total mass stays uniform.
+
+    ``uniform_blend`` (traced scalar in [0, 1] or None): blend the
+    normalized profile toward the uniform distribution — at 1.0 sampling
+    is exactly stratified (the hierarchical coarse pass's coverage), at
+    0.0 pure grid-driven.  The annealed explore floor
+    (``--occ_explore_anneal``) ramps this 1→0 early in training so the
+    model can BOOTSTRAP density everywhere before the grid concentrates
+    the budget — the NDC far-plane fix (thin far content starts unlearned,
+    loses its mark, and a small static floor never re-finds it).
     """
     B = rays_o.shape[0]
     P = cfg.n_probes
@@ -94,7 +103,14 @@ def ray_probe_weights(grid: jnp.ndarray, cfg: OccupancyConfig,
     occupied = (alpha > cfg.alpha_thr).astype(jnp.float32)
     total = jnp.sum(occupied, axis=-1, keepdims=True)
     floor = cfg.explore_frac * jnp.maximum(total, 1.0) / P
-    return z, occupied + floor
+    w = occupied + floor
+    if uniform_blend is not None:
+        # blend toward uniform-with-equal-total-mass IN w's own scale:
+        # at 0.0 this is w bit-exactly (sample_pdf normalizes downstream,
+        # so only the relative profile matters)
+        mean = jnp.mean(w, axis=-1, keepdims=True)
+        w = w + uniform_blend * (mean - w)
+    return z, w
 
 
 def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig,
@@ -110,8 +126,8 @@ def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig
     ``max(grid * decay, sigma)``.  View direction is irrelevant for sigma;
     a fixed unit dir feeds the (unused) color branch.
 
-    To REBUILD the grid from scratch (resume / render-only — the grid is
-    not checkpointed), call with a zero grid: ``update(zeros, params, key)``
+    To REBUILD the grid from scratch (render-only from a pre-grid
+    checkpoint), call with a zero grid: ``update(zeros, params, key)``
     returns exactly the current density field (max(0·decay, sigma) = sigma),
     which is what the EMA converges to.
     """

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import optax
 
 from nerf_sandbox_tpu.core.sampling import (
-    interlevel_loss, merge_z_samples, perturb_z_samples,
+    distortion_loss, interlevel_loss, merge_z_samples, perturb_z_samples,
     resample_midpoints, sample_pdf, stratified_samples)
 from nerf_sandbox_tpu.data.sampler import RayBatchSpec, SceneArrays, sample_ray_batch
 from nerf_sandbox_tpu.models.forward import nerf_forward_pass
@@ -57,6 +57,12 @@ class TrainHyper(NamedTuple):
     enc_cfg: Any = None               # HashGridConfig | KPlanesConfig
     sampling_mode: str = "hierarchical"   # "hierarchical" | "occupancy" | "proposal"
     occ_cfg: Any = None               # OccupancyConfig (hashable NamedTuple)
+    # annealed explore floor: blend the probe profile toward uniform by
+    # max(0, 1 - step/anneal) — step 0 samples exactly stratified (the
+    # hierarchical coarse pass's coverage), ramping linearly to pure
+    # grid-driven by ``occ_explore_anneal`` steps. Bootstraps density
+    # everywhere before the grid concentrates (NDC far-plane fix). 0 = off.
+    occ_explore_anneal: int = 0
     # proposal mode (mip-NeRF 360-style): a small density MLP in the
     # params_c slot places the main model's samples; trained with the
     # interlevel bound loss (core/sampling.py:interlevel_loss).
@@ -71,6 +77,10 @@ class TrainHyper(NamedTuple):
     prop_anneal_slope: float = 10.0
     # mip-NeRF 360 scene contraction of encoder inputs (unbounded scenes)
     scene_contraction: bool = False
+    # mip-NeRF 360 distortion loss on the fine/main weights (L_dist, §4):
+    # compacts each ray's histogram — the near-camera floater/fog fix an
+    # unbounded scene needs (core/sampling.py:distortion_loss). 0 = off.
+    distortion_weight: float = 0.0
     # disparity-linear coarse/proposal sample spacing (bmild lindisp knob)
     lindisp: bool = False
 
@@ -179,11 +189,14 @@ def init_train_state(key: jax.Array, hyper: TrainHyper, tx, *,
 
 
 def _occupancy_loss(params_f, occ_grid, batch, key, hyper: TrainHyper,
-                    pos_bands, dir_bands):
+                    pos_bands, dir_bands, uniform_blend=None):
     """Occupancy-mode loss: grid probes place ALL samples; one model eval.
 
     Replaces the coarse NeRF pass entirely (models/occupancy.py) — the
-    step is a single fine forward at hyper.nf samples/ray.
+    step is a single fine forward at hyper.nf samples/ray. ``uniform_blend``
+    (traced scalar or None) is the annealed explore floor's stratified
+    blend (models/occupancy.py:ray_probe_weights). Returns (reg, mse_f)
+    where ``reg`` is the pre-scaled distortion term (0 when off).
     """
     from nerf_sandbox_tpu.models.occupancy import ray_probe_weights
 
@@ -191,12 +204,12 @@ def _occupancy_loss(params_f, occ_grid, batch, key, hyper: TrainHyper,
     probe_z, probe_w = ray_probe_weights(
         occ_grid, hyper.occ_cfg, batch["rays_o_marching"],
         batch["rays_d_marching_unit"], batch["rays_d_marching_norm"],
-        hyper.samp_near, hyper.samp_far)
+        hyper.samp_near, hyper.samp_far, uniform_blend=uniform_blend)
     zf = sample_pdf(probe_z, jax.lax.stop_gradient(probe_w), hyper.nf,
                     key=k_pdf, deterministic=hyper.det_fine)
     z = jnp.sort(zf, axis=-1)
 
-    comp_f, _, _, _ = nerf_forward_pass(
+    comp_f, w_f, _, _ = nerf_forward_pass(
         params_f, hyper.model, batch["rays_o_marching"],
         batch["rays_d_marching_unit"], z,
         pos_bands=pos_bands, dir_bands=dir_bands,
@@ -214,7 +227,11 @@ def _occupancy_loss(params_f, occ_grid, batch, key, hyper: TrainHyper,
 
     target = jnp.clip(jnp.nan_to_num(batch["rgb"]), 0.0, 1.0)
     loss_f = jnp.mean((comp_f - target) ** 2)
-    return jnp.zeros_like(loss_f), loss_f
+    reg = jnp.zeros_like(loss_f)
+    if hyper.distortion_weight > 0:
+        reg = hyper.distortion_weight * distortion_loss(
+            z, w_f, hyper.samp_near, hyper.samp_far, lindisp=hyper.lindisp)
+    return reg, loss_f
 
 
 def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
@@ -224,9 +241,10 @@ def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
     A small freq-encoded density MLP (``params_p``, the coarse slot)
     places ALL of the main model's samples; the proposal trains against
     the interlevel bound of the main histogram, the main model against
-    MSE. Returns (interlevel_loss, mse_f) — the total is formed by the
-    caller as mse + interlevel_weight * il. ``anneal`` (traced scalar in
-    [0,1] or None) flattens the resample distribution early in training
+    MSE. Returns (reg, mse_f) where ``reg`` is the PRE-SCALED regularizer
+    sum (interlevel_weight · L_il + distortion_weight · L_dist) — the
+    total is formed by the caller as mse + reg. ``anneal`` (traced scalar
+    in [0,1] or None) flattens the resample distribution early in training
     (w^anneal — core/sampling.py:resample_midpoints).
     """
     B = batch["rgb"].shape[0]
@@ -278,12 +296,21 @@ def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
     target = jnp.clip(jnp.nan_to_num(batch["rgb"]), 0.0, 1.0)
     mse_f = jnp.mean((comp_f - target) ** 2)
     il = interlevel_loss(z, jax.lax.stop_gradient(w_f), zp, w_p)
-    return il, mse_f
+    reg = hyper.interlevel_weight * il
+    if hyper.distortion_weight > 0:
+        reg = reg + hyper.distortion_weight * distortion_loss(
+            z, w_f, hyper.samp_near, hyper.samp_far, lindisp=hyper.lindisp)
+    return reg, mse_f
 
 
 def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
                         pos_bands, dir_bands):
-    """Coarse+fine forward and per-model MSE for one ray (sub-)batch."""
+    """Coarse+fine forward and per-model MSE for one ray (sub-)batch.
+
+    When ``hyper.distortion_weight`` > 0 the (pre-scaled) distortion term
+    on the fine weights rides in the first return slot, so the caller's
+    ``lc + lf`` total includes it while ``lf`` stays pure MSE (the PSNR
+    metric)."""
     B = batch["rgb"].shape[0]
     k_perturb, k_noise_c, k_pdf, k_noise_f = jax.random.split(key, 4)
 
@@ -314,13 +341,17 @@ def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
                             deterministic=hyper.det_fine)
     z_all = merge_z_samples(zc, jax.lax.stop_gradient(zf))
 
-    comp_f, _, _, _ = fwd(params_f, hyper.model, batch["rays_o_marching"],
-                          batch["rays_d_marching_unit"], z_all,
-                          noise_key=k_noise_f)
+    comp_f, w_f, _, _ = fwd(params_f, hyper.model, batch["rays_o_marching"],
+                            batch["rays_d_marching_unit"], z_all,
+                            noise_key=k_noise_f)
 
     target = jnp.clip(jnp.nan_to_num(batch["rgb"]), 0.0, 1.0)
     loss_c = jnp.mean((comp_c - target) ** 2)
     loss_f = jnp.mean((comp_f - target) ** 2)
+    if hyper.distortion_weight > 0:
+        loss_c = loss_c + hyper.distortion_weight * distortion_loss(
+            z_all, w_f, hyper.samp_near, hyper.samp_far,
+            lindisp=hyper.lindisp)
     return loss_c, loss_f
 
 
@@ -364,7 +395,16 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
                 pos_bands, dir_bands)
         return lc + lf, lf
 
-    def occ_loss_fn(params_cf, batch, key, occ_grid):
+    def occ_loss_fn(params_cf, batch, key, occ_grid, step):
+        if hyper.occ_explore_anneal and hyper.occ_explore_anneal > 0:
+            # linear 1→0 stratified blend over anneal steps (bootstrap:
+            # sample everywhere while density is unlearned, then hand the
+            # budget to the grid)
+            blend = jnp.clip(
+                1.0 - step.astype(jnp.float32) / hyper.occ_explore_anneal,
+                0.0, 1.0)
+        else:
+            blend = None
         if hyper.micro_chunks and hyper.micro_chunks > 1:
             m = hyper.micro_chunks
             B = batch["rgb"].shape[0]
@@ -375,15 +415,17 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
 
             def body(acc, xs):
                 sub_batch, k = xs
-                _, lf = _occupancy_loss(params_cf["f"], occ_grid, sub_batch,
-                                        k, hyper, pos_bands, dir_bands)
-                return acc + lf / m, None
+                reg, lf = _occupancy_loss(params_cf["f"], occ_grid, sub_batch,
+                                          k, hyper, pos_bands, dir_bands,
+                                          uniform_blend=blend)
+                return (acc[0] + reg / m, acc[1] + lf / m), None
 
-            lf, _ = jax.lax.scan(body, 0.0, (chunked, keys))
+            (reg, lf), _ = jax.lax.scan(body, (0.0, 0.0), (chunked, keys))
         else:
-            _, lf = _occupancy_loss(params_cf["f"], occ_grid, batch, key,
-                                    hyper, pos_bands, dir_bands)
-        return lf, lf
+            reg, lf = _occupancy_loss(params_cf["f"], occ_grid, batch, key,
+                                      hyper, pos_bands, dir_bands,
+                                      uniform_blend=blend)
+        return lf + reg, lf
 
     def prop_loss_fn(params_cf, batch, key, step):
         if hyper.prop_anneal_steps and hyper.prop_anneal_steps > 0:
@@ -405,17 +447,17 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
 
             def body(acc, xs):
                 sub_batch, k = xs
-                il, lf = _proposal_loss(params_cf["c"], params_cf["f"],
-                                        sub_batch, k, hyper, pos_bands,
-                                        dir_bands, anneal=anneal)
-                return (acc[0] + il / m, acc[1] + lf / m), None
+                reg, lf = _proposal_loss(params_cf["c"], params_cf["f"],
+                                         sub_batch, k, hyper, pos_bands,
+                                         dir_bands, anneal=anneal)
+                return (acc[0] + reg / m, acc[1] + lf / m), None
 
-            (il, lf), _ = jax.lax.scan(body, (0.0, 0.0), (chunked, keys))
+            (reg, lf), _ = jax.lax.scan(body, (0.0, 0.0), (chunked, keys))
         else:
-            il, lf = _proposal_loss(params_cf["c"], params_cf["f"], batch,
-                                    key, hyper, pos_bands, dir_bands,
-                                    anneal=anneal)
-        return lf + hyper.interlevel_weight * il, lf
+            reg, lf = _proposal_loss(params_cf["c"], params_cf["f"], batch,
+                                     key, hyper, pos_bands, dir_bands,
+                                     anneal=anneal)
+        return lf + reg, lf
 
     occupancy = hyper.sampling_mode == "occupancy"
     proposal = hyper.sampling_mode == "proposal"
@@ -432,7 +474,7 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
             (loss, mse_f), grads = jax.value_and_grad(
                 occ_loss_fn, has_aux=True)(
                 {"c": state.params_c, "f": state.params_f}, batch, k_loss,
-                occ_grid)
+                occ_grid, step)
         elif proposal:
             (loss, mse_f), grads = jax.value_and_grad(
                 prop_loss_fn, has_aux=True)(

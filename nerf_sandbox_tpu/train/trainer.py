@@ -352,11 +352,15 @@ class Trainer:
             compute_dtype=str(cfg.compute_dtype),
             pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
             sampling_mode=self.sampling_mode, occ_cfg=self.occ_cfg,
+            occ_explore_anneal=int(getattr(cfg, "occ_explore_anneal", 0)
+                                   or 0),
             prop_model=self.prop_model, n_prop=n_prop,
             interlevel_weight=float(cfg.interlevel_weight),
             prop_anneal_steps=int(getattr(cfg, "prop_anneal_steps", 0) or 0),
             prop_anneal_slope=float(getattr(cfg, "prop_anneal_slope", 10.0)),
             scene_contraction=self.scene_contraction,
+            distortion_weight=float(getattr(cfg, "distortion_weight", 0.0)
+                                    or 0.0),
             lindisp=self.lindisp)
 
         sched_params = dict(cfg.lr_scheduler_params or {})

@@ -1,0 +1,34 @@
+#!/bin/bash
+# Unbounded-360 quality matrix (ROADMAP #5 remainder): contraction's UPSIDE
+# on its intended geometry class — tests/make_360_scene.py (foreground
+# checker spheres + infinite ground + hills at r=12-25 + sky shell at r=80,
+# content depth [~2, 84]). Same 3k recipe as quality_matrix_tex.sh; val
+# PSNR over 3 held-out frames. The "naive" row is the reference's
+# situation: a bounded [2, 6] linear window pointed at an unbounded scene.
+# Run AFTER any other TPU job finishes (one JAX process at a time).
+set -x
+STEPS=${STEPS:-3000}
+U=${U:-/tmp/u360}
+OUT=${OUT:-/tmp/qmatrix360}
+COMMON="--max_steps $STEPS --rays_per_batch 1024 --nc 64 --nf 128 \
+  --raw_noise_std 1.0 --sigma_activation relu --white_bkgd false --lr 5e-4 \
+  --lr_scheduler cosine --lr_scheduler_params {\"T_max\":$STEPS,\"eta_min\":5e-6} \
+  --val_every 1000 --val_indices 0,1,2 --log_every 500"
+UNB="--near_world 0.5 --far_world 90 --lindisp true"
+
+run() { # name extra...
+  local name=$1; shift
+  python -m nerf_sandbox_tpu.scripts.train_nerf \
+    --data_root "$U" --out_dir "$OUT/$name" --seed 42 $COMMON "$@" \
+    2>&1 | grep -E "^\[VAL\]|\[proposal\]|loss=nan|ERROR" | tail -8
+  echo "QMATRIX360_${name}_DONE"
+}
+
+run u_naive                             # bounded [2,6] linear window (= reference capability)
+run u_hier        $UNB
+run u_hier_c      $UNB --scene_contraction true
+run u_prop_ann    $UNB --sampling proposal --prop_anneal_steps 1000
+run u_prop_ann_c  $UNB --sampling proposal --prop_anneal_steps 1000 \
+                       --scene_contraction true
+
+echo QMATRIX360_ALL_DONE

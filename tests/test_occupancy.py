@@ -55,6 +55,78 @@ def test_uniform_grid_gives_uniform_weights():
     np.testing.assert_allclose(w, w[0, 0], rtol=1e-5)
 
 
+def test_probe_weights_uniform_blend():
+    """Annealed explore floor: blend=1 → exactly stratified regardless of
+    the grid; blend=0 → the grid-driven profile; blend=0.5 in between,
+    normalized mass preserved."""
+    R = CFG.resolution
+    grid = jnp.zeros((R ** 3,))
+    grid = jnp.where(jnp.arange(R ** 3) % R == 3, 100.0, grid)
+    o = jnp.array([[0.01, 0.01, -2.0]])
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    args = (grid, CFG, o, d, jnp.ones((1, 1)), 1.0, 3.0)
+
+    _, w_base = ray_probe_weights(*args)
+    _, w0 = ray_probe_weights(*args, uniform_blend=jnp.float32(0.0))
+    _, w1 = ray_probe_weights(*args, uniform_blend=jnp.float32(1.0))
+    _, wh = ray_probe_weights(*args, uniform_blend=jnp.float32(0.5))
+
+    base = np.asarray(w_base)
+    mean = base.mean(axis=-1, keepdims=True)
+    np.testing.assert_array_equal(np.asarray(w0), base)   # bit-exact at 0
+    np.testing.assert_allclose(np.asarray(w1),
+                               np.broadcast_to(mean, base.shape), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(wh), 0.5 * base + 0.5 * mean,
+                               rtol=1e-6)
+    # total mass preserved at every blend
+    for w in (w0, w1, wh):
+        np.testing.assert_allclose(float(jnp.sum(w)), float(base.sum()),
+                                   rtol=1e-6)
+
+
+def test_occ_explore_anneal_train_step():
+    """--occ_explore_anneal: the annealed step runs and differs from the
+    non-annealed step early (blend>0 changes sample placement), and
+    matches it bit-exactly once past the anneal horizon (blend clamps
+    to 0 → w is the unmodified base profile)."""
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+    from nerf_sandbox_tpu.data.sampler import RayBatchSpec, SceneArrays
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig
+    from nerf_sandbox_tpu.train.step import (
+        TrainHyper, build_train_step, init_train_state, make_optimizer)
+    from tests.test_train_step import _scene
+
+    scene = SceneArrays.from_scene(_scene())
+    model = NeRFConfig(enc_pos_dim=63, enc_dir_dim=27, n_layers=2,
+                       hidden_dim=32, skip_pos=1)
+    occ = OccupancyConfig(resolution=8, lo=(-1.5, -1.5, -1.5),
+                          hi=(1.5, 1.5, 1.5), n_probes=16,
+                          explore_frac=0.02)
+    spec = RayBatchSpec(rays_per_batch=64, image_h=16, image_w=16)
+    pos_b, dir_b = vanilla_encoders()
+    tx = make_optimizer(5e-4, "cosine", {"T_max": 100, "eta_min": 5e-6})
+
+    def run(anneal, start_step):
+        hyper = TrainHyper(model=model, nc=16, nf=16, samp_near=2.0,
+                           samp_far=6.0, sampling_mode="occupancy",
+                           occ_cfg=occ, occ_explore_anneal=anneal)
+        state = init_train_state(jax.random.PRNGKey(0), hyper, tx,
+                                 near=2.0, far=6.0)
+        state = state._replace(step=jnp.int32(start_step))
+        fn = build_train_step(hyper, spec, tx, jnp.asarray(pos_b),
+                              jnp.asarray(dir_b), base_seed=42)
+        # grid with structure so blending actually moves samples
+        grid = jnp.where(jnp.arange(8 ** 3) % 8 < 2, 5.0, 0.0)
+        _, m = fn(state, scene, grid)
+        return float(m["loss"])
+
+    # early step: annealed (blend≈1) differs from non-annealed
+    assert run(0, 0) != run(100, 0)
+    # past the horizon: blend clamps to 0 → w is bit-exactly the base
+    # profile → identical losses
+    assert run(0, 500) == run(100, 500)
+
+
 def test_updater_ema_and_density_pickup():
     from nerf_sandbox_tpu.core.encoding import vanilla_encoders
     from nerf_sandbox_tpu.models.mlp import NeRFConfig, init_nerf_params
