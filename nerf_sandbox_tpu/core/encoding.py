@@ -92,3 +92,23 @@ def scene_contract(x: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
     n = jnp.linalg.norm(x, axis=-1, keepdims=True)
     n = jnp.maximum(n, eps)
     return jnp.where(n <= 1.0, x, (2.0 - 1.0 / n) * (x / n))
+
+
+def scene_uncontract(c: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Inverse of :func:`scene_contract` on the open radius-2 ball.
+
+    uncontract(c) = c                        for ||c|| <= 1
+                  = c/(||c||·(2 - ||c||))    otherwise  (||c|| < 2)
+
+    Used by the CONTRACTED occupancy grid (models/occupancy.py): cells
+    tile contracted [-2,2]³ space, so updating a cell needs the world
+    point whose contraction is the cell center. Inputs at ``||c|| >= 2``
+    (corner cells of the cube outside the ball) are clamped just inside
+    the shell — they map to "very far" world points, which is the right
+    semantic for marking sky-distance content.
+    """
+    n = jnp.linalg.norm(c, axis=-1, keepdims=True)
+    n = jnp.maximum(n, eps)
+    n_c = jnp.minimum(n, 2.0 - eps)
+    r = 1.0 / (2.0 - n_c)                    # world radius for ||c|| > 1
+    return jnp.where(n <= 1.0, c, (c / n) * r)

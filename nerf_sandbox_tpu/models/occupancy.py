@@ -42,6 +42,13 @@ class OccupancyConfig(NamedTuple):
     explore_frac: float = 0.02    # uniform mass floor for exploration
     alpha_thr: float = 0.01       # cell counts as occupied when its alpha
                                   # over one probe bin exceeds this
+    # Grid tiles CONTRACTED space (NerfAcc-360 practice): cells cover the
+    # mip-NeRF 360 radius-2 ball (set lo/hi to ±2), so a finite grid holds
+    # occupancy for an UNBOUNDED scene — lookups contract the query point,
+    # updates un-contract the cell center (core/encoding.py). The trainer
+    # enables this automatically under --sampling occupancy
+    # --scene_contraction true.
+    contracted: bool = False
 
 
 def init_occupancy_grid(cfg: OccupancyConfig) -> jnp.ndarray:
@@ -54,10 +61,16 @@ def grid_values(grid: jnp.ndarray, cfg: OccupancyConfig,
     """Nearest-cell density lookup for world/marching points (..., 3).
 
     Out-of-box points return 0 (no mass placed outside the volume).
+    ``cfg.contracted``: the box lives in contracted space — queries are
+    contracted first (every finite world point then lands inside a ±2
+    box, so nothing is ever out-of-box).
     """
     R = cfg.resolution
     lo = jnp.asarray(cfg.lo, jnp.float32)
     hi = jnp.asarray(cfg.hi, jnp.float32)
+    if cfg.contracted:
+        from nerf_sandbox_tpu.core.encoding import scene_contract
+        pts = scene_contract(pts)
     u = (pts - lo) / (hi - lo)                       # [0,1] inside the box
     inside = jnp.all((u >= 0.0) & (u <= 1.0), axis=-1)
     cell = jnp.clip((u * R).astype(jnp.int32), 0, R - 1)
@@ -145,6 +158,11 @@ def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig
     def update(grid, params, key):
         u = (cell + jax.random.uniform(key, cell.shape)) / R
         pts = lo + u * (hi - lo)                                 # (R^3, 3)
+        if cfg.contracted:
+            # cells tile contracted space; the model is queried at the
+            # WORLD point whose contraction is the jittered cell point
+            from nerf_sandbox_tpu.core.encoding import scene_uncontract
+            pts = scene_uncontract(pts)
 
         def density(pts_chunk):
             if scene_contraction:

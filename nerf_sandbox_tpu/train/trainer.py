@@ -267,8 +267,18 @@ class Trainer:
         if self.sampling_mode == "occupancy":
             from nerf_sandbox_tpu.models.occupancy import (
                 OccupancyConfig, init_occupancy_grid)
+            occ_contracted = False
             if self.use_ndc:
                 lo, hi = (-1.0, -1.0, 0.0), (1.0, 1.0, 1.0)
+            elif self.scene_contraction:
+                # unbounded scene: the grid tiles CONTRACTED space — the
+                # ±2 ball holds every finite world point, so the finite
+                # grid covers the whole unbounded scene (NerfAcc-360
+                # practice; models/occupancy.py)
+                lo, hi = (-2.0, -2.0, -2.0), (2.0, 2.0, 2.0)
+                occ_contracted = True
+                print("[occ] scene_contraction: grid tiles contracted "
+                      "space (covers the unbounded scene)")
             else:
                 s = float(cfg.occ_aabb_scale)
                 lo, hi = (-s, -s, -s), (s, s, s)
@@ -291,11 +301,11 @@ class Trainer:
                 decay=float(cfg.occ_decay),
                 update_every=int(cfg.occ_update_every),
                 n_probes=int(cfg.occ_probes),
-                explore_frac=explore)
+                explore_frac=explore, contracted=occ_contracted)
             self.occ_grid = init_occupancy_grid(self.occ_cfg)
             print(f"[occ] grid {cfg.occ_res}^3 over {lo}..{hi}, "
                   f"update every {cfg.occ_update_every} steps")
-            if not self.use_ndc:
+            if not self.use_ndc and not occ_contracted:
                 # Content outside the grid box is sampled only through the
                 # explore floor (2%): geometry out there learns ~never and
                 # PSNR silently plateaus (measured: the textured ground

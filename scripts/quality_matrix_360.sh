@@ -16,8 +16,9 @@ COMMON="--max_steps $STEPS --rays_per_batch 1024 --nc 64 --nf 128 \
   --val_every 1000 --val_indices 0,1,2 --log_every 500"
 UNB="--near_world 0.5 --far_world 90 --lindisp true"
 
-run() { # name extra...
+run() { # name extra...   (ONLY=<substr> filters rows)
   local name=$1; shift
+  if [ -n "$ONLY" ] && [[ "$name" != *"$ONLY"* ]]; then return; fi
   python -m nerf_sandbox_tpu.scripts.train_nerf \
     --data_root "$U" --out_dir "$OUT/$name" --seed 42 $COMMON "$@" \
     2>&1 | grep -E "^\[VAL\]|\[proposal\]|loss=nan|ERROR" | tail -8
@@ -30,5 +31,34 @@ run u_hier_c      $UNB --scene_contraction true
 run u_prop_ann    $UNB --sampling proposal --prop_anneal_steps 1000
 run u_prop_ann_c  $UNB --sampling proposal --prop_anneal_steps 1000 \
                        --scene_contraction true
+
+# distortion-loss ablation (the floater fix the first matrix motivated)
+run u_hier_c_d01      $UNB --scene_contraction true --distortion_weight 0.01
+run u_prop_ann_d01    $UNB --sampling proposal --prop_anneal_steps 1000 \
+                           --distortion_weight 0.01
+run u_prop_ann_c_d01  $UNB --sampling proposal --prop_anneal_steps 1000 \
+                           --scene_contraction true --distortion_weight 0.01
+run u_prop_ann_c_d10  $UNB --sampling proposal --prop_anneal_steps 1000 \
+                           --scene_contraction true --distortion_weight 0.1
+
+# contracted occupancy grid (NerfAcc-360): the fast family on the
+# unbounded scene — grid tiles contracted ±2 space, kplanes aabb=2
+run u_occ_c_d01       $UNB --sampling occupancy --scene_contraction true \
+                           --distortion_weight 0.01 --occ_explore_anneal 1000
+run u_kp_occ_c_d01    $UNB --sampling occupancy --scene_contraction true \
+                           --distortion_weight 0.01 --occ_explore_anneal 1000 \
+                           --encoder kplanes --lr_grid 1e-2
+
+# mip-360 NORMALIZED rows: contraction assumes the cameras fit in the
+# unit ball (Barron 2022 §2). scene_scale 0.25 puts the r=4 orbit at r=1
+# and the whole foreground inside the contraction's identity region;
+# near/far scale with it (0.5·0.25, 90·0.25).
+UNBS="--scene_scale 0.25 --near_world 0.125 --far_world 22.5 --lindisp true"
+run u_hier_c_d01_s      $UNBS --scene_contraction true --distortion_weight 0.01
+run u_prop_ann_c_d01_s  $UNBS --sampling proposal --prop_anneal_steps 1000 \
+                              --scene_contraction true --distortion_weight 0.01
+run u_kp_occ_c_d01_s    $UNBS --sampling occupancy --scene_contraction true \
+                              --distortion_weight 0.01 --occ_explore_anneal 1000 \
+                              --encoder kplanes --lr_grid 1e-2
 
 echo QMATRIX360_ALL_DONE
