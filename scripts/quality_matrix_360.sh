@@ -16,12 +16,16 @@ COMMON="--max_steps $STEPS --rays_per_batch 1024 --nc 64 --nf 128 \
   --val_every 1000 --val_indices 0,1,2 --log_every 500"
 UNB="--near_world 0.5 --far_world 90 --lindisp true"
 
-run() { # name extra...   (ONLY=<substr> filters rows)
+run() { # name extra...   (ONLY=<substr> filters rows; completed rows skip)
   local name=$1; shift
   if [ -n "$ONLY" ] && [[ "$name" != *"$ONLY"* ]]; then return; fi
+  if [ -e "$OUT/$name/.qmatrix_done" ]; then
+    echo "QMATRIX360_${name}_SKIP (done)"; return
+  fi
   python -m nerf_sandbox_tpu.scripts.train_nerf \
     --data_root "$U" --out_dir "$OUT/$name" --seed 42 $COMMON "$@" \
     2>&1 | grep -E "^\[VAL\]|\[proposal\]|loss=nan|ERROR" | tail -8
+  touch "$OUT/$name/.qmatrix_done"
   echo "QMATRIX360_${name}_DONE"
 }
 
