@@ -191,6 +191,22 @@ class Trainer:
             print("[cfg] note: --scene_contraction with --use_ndc is "
                   "redundant (NDC is already bounded); contraction disabled")
             self.scene_contraction = False
+        if self.scene_contraction:
+            # mip-NeRF 360 frame check: contraction is the identity inside
+            # the unit ball and compresses everything outside — the camera
+            # rig (and foreground) must sit INSIDE it. Measured on the
+            # synthetic 360 scene: an r=4 orbit under contraction loses
+            # ~9 dB vs the same run normalized to r=1 via --scene_scale
+            # (RESULTS.md "Unbounded-360").
+            eyes = np.asarray([f.c2w[:3, 3] for f in self.scene_train.frames],
+                              np.float32)
+            cam_r = float(np.mean(np.linalg.norm(eyes, axis=-1)))
+            if cam_r > 1.25:
+                print(f"[contract] WARNING: mean camera radius r={cam_r:.2f} "
+                      "> 1 — contraction compresses the foreground. "
+                      f"Normalize the rig into the unit ball with "
+                      f"--scene_scale {1.0 / cam_r:.3g} (and scale "
+                      "--near_world/--far_world to match)")
         self.lindisp = bool(getattr(cfg, "lindisp", False))
         if self.lindisp and self.samp_near <= 0:
             raise ValueError(
