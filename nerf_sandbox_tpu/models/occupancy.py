@@ -42,6 +42,12 @@ class OccupancyConfig(NamedTuple):
     explore_frac: float = 0.02    # uniform mass floor for exploration
     alpha_thr: float = 0.01       # cell counts as occupied when its alpha
                                   # over one probe bin exceeds this
+    # Disparity-spaced probe bins (matches --lindisp sample spacing).
+    # With a linear partition of an unbounded [near, far] the whole
+    # foreground falls inside a handful of probe bins (measured: 4 of 64
+    # on the normalized 360 scene → occupancy plateaus ~8 dB below
+    # proposal; RESULTS.md "Unbounded-360"). Requires near > 0.
+    lindisp: bool = False
     # Grid tiles CONTRACTED space (NerfAcc-360 practice): cells cover the
     # mip-NeRF 360 radius-2 ball (set lo/hi to ±2), so a finite grid holds
     # occupancy for an UNBOUNDED scene — lookups contract the query point,
@@ -99,8 +105,15 @@ def ray_probe_weights(grid: jnp.ndarray, cfg: OccupancyConfig,
     """
     B = rays_o.shape[0]
     P = cfg.n_probes
-    edges = jnp.linspace(samp_near, samp_far, P + 1, dtype=jnp.float32)
+    if cfg.lindisp:
+        # disparity-spaced bins, mirroring stratified_samples(lindisp=True)
+        inv = jnp.linspace(1.0 / samp_near, 1.0 / samp_far, P + 1,
+                           dtype=jnp.float32)
+        edges = 1.0 / inv
+    else:
+        edges = jnp.linspace(samp_near, samp_far, P + 1, dtype=jnp.float32)
     mids = 0.5 * (edges[1:] + edges[:-1])                        # (P,)
+    widths = edges[1:] - edges[:-1]                              # (P,)
     z = jnp.broadcast_to(mids, (B, P))
     z_metric = z * ray_norms.reshape(B, 1)
     pts = rays_o[:, None, :] + rays_d_unit[:, None, :] * z_metric[..., None]
@@ -111,7 +124,7 @@ def ray_probe_weights(grid: jnp.ndarray, cfg: OccupancyConfig,
     # sample budget EVENLY across occupied bins — weighting by raw sigma
     # piles samples onto already-dense cells and starves surface fringes,
     # which measurably hurts novel-view PSNR.
-    delta = (samp_far - samp_near) / P * ray_norms.reshape(B, 1)
+    delta = widths * ray_norms.reshape(B, 1)                     # (B, P)
     alpha = 1.0 - jnp.exp(-sigma * delta)
     occupied = (alpha > cfg.alpha_thr).astype(jnp.float32)
     total = jnp.sum(occupied, axis=-1, keepdims=True)

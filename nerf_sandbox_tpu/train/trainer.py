@@ -317,7 +317,8 @@ class Trainer:
                 decay=float(cfg.occ_decay),
                 update_every=int(cfg.occ_update_every),
                 n_probes=int(cfg.occ_probes),
-                explore_frac=explore, contracted=occ_contracted)
+                explore_frac=explore, lindisp=self.lindisp,
+                contracted=occ_contracted)
             self.occ_grid = init_occupancy_grid(self.occ_cfg)
             print(f"[occ] grid {cfg.occ_res}^3 over {lo}..{hi}, "
                   f"update every {cfg.occ_update_every} steps")

@@ -459,3 +459,27 @@ def test_contracted_updater_marks_far_density():
                                  compute_dtype=jnp.float32)
     g = upd(jnp.zeros((R ** 3,)), params, jax.random.PRNGKey(1))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_probe_weights_lindisp_spacing():
+    """cfg.lindisp: probe bins are disparity-spaced (mirroring the
+    sampler), concentrating probes near the camera; mids stay monotone in
+    [near, far]. Non-lindisp stays the uniform partition."""
+    cfg = CFG._replace(lindisp=True, explore_frac=0.0)
+    grid = init_occupancy_grid(cfg)
+    o = jnp.zeros((1, 3))
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    near, far = 0.125, 22.5
+    z, _ = ray_probe_weights(grid, cfg, o, d, jnp.ones((1, 1)), near, far)
+    z = np.asarray(z[0])
+    assert np.all(np.diff(z) > 0) and z[0] > near and z[-1] < far
+    # disparity spacing: half the probes sit below the harmonic midpoint
+    mid_disp = 2.0 / (1.0 / near + 1.0 / far)
+    assert np.sum(z < mid_disp) == cfg.n_probes // 2
+    # foreground coverage: the normalized-360 foreground band [0.4, 1.6]
+    # gets a real share of probes (the linear partition gave it ~0)
+    assert np.sum((z > 0.4) & (z < 1.6)) >= cfg.n_probes // 8
+    # linear path: uniform widths, unchanged semantics
+    zl, _ = ray_probe_weights(grid, CFG, o, d, jnp.ones((1, 1)), near, far)
+    np.testing.assert_allclose(np.diff(np.asarray(zl[0])),
+                               (far - near) / CFG.n_probes, rtol=1e-4)
