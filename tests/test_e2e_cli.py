@@ -104,3 +104,40 @@ def test_llff_ndc_smoke(tmp_path):
     assert dbg["scene"]["use_ndc"] is True
     # NDC sanity entry present
     assert any(r["as_ndc"] for r in dbg["ray_sanity"])
+
+
+def test_unbounded_360_stack_cli(blender_scene, tmp_path):
+    """The full unbounded-360 stack through the CLI in one run: mip-360
+    normalization (--scene_scale), disparity sampling (--lindisp),
+    contraction (+ frame warning machinery), distortion loss, contracted
+    occupancy grid with disparity-spaced probes and annealed explore
+    floor. Pins the winning RESULTS.md recipe end-to-end: finite losses,
+    checkpoints, validation renders."""
+    out = tmp_path / "u360"
+    _run_cli(["--data_root", str(blender_scene), "--out_dir", str(out),
+              "--data_kind", "blender", "--max_steps", "8",
+              "--rays_per_batch", "64", "--nc", "8", "--nf", "8",
+              "--scene_scale", "0.25", "--near_world", "0.125",
+              "--far_world", "22.5", "--lindisp", "true",
+              "--scene_contraction", "true", "--distortion_weight", "0.01",
+              "--sampling", "occupancy", "--occ_explore_anneal", "4",
+              "--occ_res", "16", "--num_val_steps", "1",
+              "--ckpt_every", "8", "--log_every", "4",
+              "--white_bkgd", "false", "--eval_chunk", "256"])
+    assert (out / "checkpoints" / "ckpt_0000008.ckpt").exists()
+    dbg = json.loads((out / "run_debug.json").read_text())
+    assert dbg["forward_probe"]["rgb_finite"]
+    assert list((out / "validation" / "val_idx0000" / "rgb").glob("step_*.png"))
+
+    # proposal variant of the same stack (the 23.22 dB recipe)
+    out2 = tmp_path / "u360p"
+    _run_cli(["--data_root", str(blender_scene), "--out_dir", str(out2),
+              "--data_kind", "blender", "--max_steps", "6",
+              "--rays_per_batch", "64", "--nc", "8", "--nf", "8",
+              "--scene_scale", "0.25", "--near_world", "0.125",
+              "--far_world", "22.5", "--lindisp", "true",
+              "--scene_contraction", "true", "--distortion_weight", "0.01",
+              "--sampling", "proposal", "--prop_anneal_steps", "4",
+              "--num_val_steps", "1", "--ckpt_every", "6", "--log_every",
+              "3", "--white_bkgd", "false", "--eval_chunk", "256"])
+    assert (out2 / "checkpoints" / "ckpt_0000006.ckpt").exists()
