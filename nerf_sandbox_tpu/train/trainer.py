@@ -340,11 +340,11 @@ class Trainer:
                           "--occ_aabb_scale (and --kp_aabb_scale / "
                           "--hash_aabb_scale for grid encoders)")
             if self.use_ndc:
-                print("[occ] note: occupancy sampling measurably "
-                      "underperforms hierarchical on forward-facing NDC "
-                      "scenes (thin far-plane content loses grid coverage "
-                      "— RESULTS.md); prefer the default hierarchical "
-                      "sampling for LLFF")
+                print("[occ] NDC + occupancy: the 0.5 explore floor is "
+                      "load-bearing (thin far-plane content needs it "
+                      "persistently) — measured +0.4 dB over hierarchical "
+                      "on textured LLFF with it, ~1 dB worse without "
+                      "(RESULTS.md 'NDC occupancy explore floor')")
 
         # ---- proposal mode (mip-NeRF 360-style, beyond-reference) ----
         self.prop_model = None
