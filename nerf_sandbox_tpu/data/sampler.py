@@ -54,14 +54,16 @@ class SceneArrays(NamedTuple):
         return self.images.shape[1], self.images.shape[2]
 
     @staticmethod
+    def _frame_uint8(f) -> np.ndarray:
+        img = np.asarray(f.image)
+        if img.dtype != np.uint8:
+            img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        return img
+
+    @staticmethod
     def _stack_numpy(scene: Scene):
-        imgs = []
-        for f in scene.frames:
-            img = np.asarray(f.image)
-            if img.dtype != np.uint8:
-                img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
-            imgs.append(img)
-        images = np.stack(imgs, axis=0)
+        images = np.stack([SceneArrays._frame_uint8(f) for f in scene.frames],
+                          axis=0)
         Ks = np.stack([np.asarray(f.K, np.float32) for f in scene.frames])
         c2ws = np.stack([f.c2w_3x4() for f in scene.frames])
         return images, Ks, c2ws
@@ -89,20 +91,30 @@ class SceneArrays(NamedTuple):
         samplers.py:94-114); this is the SURVEY §5 DCN-scale data path.
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
-        images, Ks, c2ws = SceneArrays._stack_numpy(scene)
         mesh = plan.mesh
         assert mesh is not None, "from_scene_sharded needs a mesh"
+        frames = scene.frames
+        shape0 = SceneArrays._frame_uint8(frames[0]).shape
         data_axes = tuple(a for a in mesh.axis_names if a != "model")
         D = int(np.prod([mesh.shape[a] for a in data_axes]))
-        N = images.shape[0]
+        N = len(frames)
         per = -(-N // D)
-        pad = D * per - N
-        if pad:
-            images = np.concatenate(
-                [images, np.zeros((pad, *images.shape[1:]), images.dtype)])
+
+        def block(idx):
+            # assemble ONLY the requested frame rows (a local device's
+            # block) — the full padded (N_pad, H, W, C) bank is never
+            # materialised in host memory, so host RAM scales with the
+            # process's owned frames, matching the per-host decode contract
+            sl = idx[0]
+            rows = range(sl.start or 0, sl.stop if sl.stop is not None
+                         else D * per)
+            return np.stack([SceneArrays._frame_uint8(frames[i]) if i < N
+                             else np.zeros(shape0, np.uint8) for i in rows])
+
         sh = NamedSharding(mesh, P(data_axes, None, None, None))
-        imgs = jax.make_array_from_callback(
-            images.shape, sh, lambda idx: images[idx])
+        imgs = jax.make_array_from_callback((D * per, *shape0), sh, block)
+        Ks = np.stack([np.asarray(f.K, np.float32) for f in frames])
+        c2ws = np.stack([f.c2w_3x4() for f in frames])
         rep = NamedSharding(mesh, P())
         return SceneArrays(imgs, jax.device_put(jnp.asarray(Ks), rep),
                            jax.device_put(jnp.asarray(c2ws), rep))

@@ -119,12 +119,31 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
         spec_b = P(data_axes)
 
         def fused_fwd(params, rays_o, rays_d_unit, ray_norms, viewdirs, z):
+            # shard_map needs an EQUAL split over the data axes (unlike the
+            # GSPMD-sharded XLA branch): pad uneven tiles by repeating the
+            # last ray (real math, no 0-norm hazards) and slice back — the
+            # last tile of a frame and --eval_chunk values that don't
+            # divide the mesh are both legal.
+            D = int(np.prod([plan.mesh.shape[a] for a in data_axes]))
+            T = rays_o.shape[0]
+            pad = (-T) % D
+
+            def padrow(x):
+                return jnp.concatenate(
+                    [x, jnp.broadcast_to(x[-1:], (pad, *x.shape[1:]))])
+            if pad:
+                rays_o, rays_d_unit, ray_norms, viewdirs, z = (
+                    padrow(rays_o), padrow(rays_d_unit), padrow(ray_norms),
+                    padrow(viewdirs), padrow(z))
             f = jax.shard_map(
                 _fused_fwd_local, mesh=plan.mesh,
                 in_specs=(P(), spec_b, spec_b, spec_b, spec_b, spec_b),
                 out_specs=(spec_b, spec_b, spec_b, spec_b),
                 check_vma=False)
-            return f(params, rays_o, rays_d_unit, ray_norms, viewdirs, z)
+            out = f(params, rays_o, rays_d_unit, ray_norms, viewdirs, z)
+            if pad:
+                out = tuple(o[:T] for o in out)
+            return out
     else:
         fused_fwd = _fused_fwd_local
 

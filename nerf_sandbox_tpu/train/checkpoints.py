@@ -140,9 +140,14 @@ class OrbaxCheckpointer:
     def __init__(self, ckpt_dir, max_to_keep: int | None = None):
         import orbax.checkpoint as ocp
         self._ocp = ocp
+        # item_handlers registers the Standard handler up front so
+        # item_metadata() works on a FRESH manager (resume in a new
+        # process) — without it orbax returns None until the first
+        # save/restore-with-args
         self.mgr = ocp.CheckpointManager(
             Path(ckpt_dir).resolve(),
-            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+            item_handlers=ocp.StandardCheckpointHandler())
 
     def save(self, step: int, state, cfg_dict: dict,
              extra: Optional[dict] = None) -> None:
@@ -164,22 +169,39 @@ class OrbaxCheckpointer:
     def restore(self, step: int, state, *, load_optim: bool = True,
                 extra_template: Optional[dict] = None):
         """→ (state, step, extras) — ``extras`` is {} unless the checkpoint
-        carries arrays matching ``extra_template`` (e.g. the occupancy grid;
-        grid-less checkpoints from before it was saved restore fine)."""
+        carries auxiliary arrays (e.g. the occupancy grid).
+
+        The saved tree's shape is read from orbax METADATA (not try/except
+        structure probing, which would silently discard a checkpointed
+        grid on any transient first-attempt failure): both subset
+        directions are legal — a pre-grid checkpoint restores into an
+        occupancy run (extras={}), and a checkpoint WITH extras restores
+        into a run that expects none (the extras template is rebuilt from
+        the checkpoint's own array metadata). The template keeps optax's
+        NamedTuple node types intact."""
         template = {"state": {"step": state.step, "params_c": state.params_c,
                               "params_f": state.params_f,
                               "opt_state": state.opt_state}}
-        if extra_template:
-            template["extra"] = dict(extra_template)
+        meta_extra = None
         try:
-            full = self.mgr.restore(
-                int(step), args=self._ocp.args.StandardRestore(template))
-        except BaseException:
-            if not extra_template:
-                raise
-            template.pop("extra")   # old checkpoint without the extras item
-            full = self.mgr.restore(
-                int(step), args=self._ocp.args.StandardRestore(template))
+            meta = self.mgr.item_metadata(int(step))
+            if "extra" in set(meta.keys()):
+                meta_extra = meta["extra"]
+        except Exception:
+            # metadata unavailable (older orbax): assume the checkpoint
+            # matches this run's configuration
+            if extra_template:
+                meta_extra = dict(extra_template)
+        if meta_extra is not None:
+            # the checkpoint carries extras: restore them whether or not
+            # this run asked (shapes from the checkpoint's own metadata
+            # when the run has no template of its own)
+            template["extra"] = (dict(extra_template) if extra_template else
+                                 jax.tree_util.tree_map(
+                                     lambda am: np.zeros(am.shape, am.dtype),
+                                     dict(meta_extra)))
+        full = self.mgr.restore(
+            int(step), args=self._ocp.args.StandardRestore(template))
         out = full["state"]
         extras = full.get("extra") or {}
         # restore to host numpy so downstream jit/mesh placement is free

@@ -76,6 +76,17 @@ class Trainer:
                 print("[dist] --async_val is single-process only (collective "
                       "dispatch ordering); forcing synchronous validation")
                 cfg.async_val = False
+            if str(getattr(cfg, "ckpt_backend", "npz")) == "orbax":
+                # orbax's save/restore of global (cross-process) arrays is
+                # a COLLECTIVE — every process must enter it, but this
+                # trainer's checkpoint policy is process-0-only writes, so
+                # process 0 would block forever at orbax's sync barrier.
+                # The npz backend is safe: replicated arrays are fully
+                # addressable on process 0 alone.
+                print("[dist] --ckpt_backend orbax is single-process only "
+                      "(collective save vs process-0-only writes would "
+                      "deadlock); forcing the npz backend")
+                cfg.ckpt_backend = "npz"
             if not self.is_main:
                 self.out_dir = self.out_dir / f"proc{dist.process_index()}"
         self.out_dir.mkdir(parents=True, exist_ok=True)
@@ -136,10 +147,18 @@ class Trainer:
         if self.shard_scene and dist.is_multiprocess():
             # Per-host data loading: only decode the train frames this
             # process's devices own (the sharded bank never reads the rest).
+            # The ownership set is one sharding-map construction per frame
+            # COUNT, not per frame (loaders call the filter N times).
+            from functools import lru_cache
+
             from nerf_sandbox_tpu.parallel.mesh import owned_frame_rows
 
-            def img_filter(i, n, _plan=self.plan):
-                return i in owned_frame_rows(_plan, n)
+            @lru_cache(maxsize=4)
+            def _owned(n, _plan=self.plan):
+                return owned_frame_rows(_plan, n)
+
+            def img_filter(i, n):
+                return i in _owned(n)
 
         self.scene_train = self.loader.load("train", image_filter=img_filter)
         try:
@@ -672,15 +691,17 @@ class Trainer:
 
     def save_checkpoint(self, step: int, tag: str | None = None,
                         include_optim: bool = True):
+        """Write a checkpoint; → the written file path (None off-main or
+        under the orbax backend, which manages its own directory)."""
         if not self.is_main:
-            return self.ckpt_dir          # process 0 owns checkpoint writes
+            return None                   # process 0 owns checkpoint writes
         # the occupancy grid is EMA state (not a pure function of params):
         # checkpoint it so resume is bit-exact, not a zero-grid approximation
         extra = ({"occ_grid": np.asarray(self.occ_grid)}
                  if self.occ_grid is not None else None)
         if self.cfg.ckpt_backend == "orbax" and tag is None:
             self._orbax.save(step, self.state, asdict(self.cfg), extra=extra)
-            return self.ckpt_dir
+            return None
         # tagged saves (pause/interrupt) always use the single-file format
         return ckpt.save_checkpoint(self.ckpt_dir, step, self.state,
                                     asdict(self.cfg), tag=tag,

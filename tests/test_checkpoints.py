@@ -74,6 +74,16 @@ def test_orbax_backend_roundtrip(tmp_path):
     _, step2, extras2 = mgr.restore(
         43, fresh, extra_template={"occ_grid": np.zeros(8, np.float32)})
     assert step2 == 43 and extras2 == {}
+    # ...and the inverse subset: a checkpoint WITH extras restores into a
+    # run that passes no template (e.g. resuming an occupancy checkpoint
+    # under --sampling hierarchical) — state restores, extras come back
+    # shaped from the checkpoint's own metadata
+    restored3, step3, extras3 = mgr.restore(42, fresh)
+    assert step3 == 42
+    np.testing.assert_array_equal(extras3["occ_grid"], grid)
+    for a, b in zip(jax.tree_util.tree_leaves(restored3.params_f),
+                    jax.tree_util.tree_leaves(state.params_f)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     mgr.close()
 
 

@@ -153,6 +153,37 @@ def test_sharded_fused_eval_matches_xla_and_single_device():
                                        err_msg=f"fused vs xla {extra}")
 
 
+def test_sharded_fused_eval_uneven_tile():
+    """Tile sizes that do NOT divide the 8-device mesh (e.g. the last tile
+    of a frame, or --eval_chunk 100) must render on the shard_map-fused
+    path — padded by repeating the last ray and sliced back — with
+    numerics equal to the single-device fused path."""
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig, init_nerf_params
+    from nerf_sandbox_tpu.render.renderer import (
+        EvalHyper, make_tile_renderer, render_rays_chunked)
+
+    plan = make_mesh()
+    model = NeRFConfig(63, 27, n_layers=3, hidden_dim=128, skip_pos=1)
+    pos_b, dir_b = vanilla_encoders()
+    pb, db = jnp.asarray(pos_b), jnp.asarray(dir_b)
+    pc = init_nerf_params(jax.random.PRNGKey(0), model)
+    pf = init_nerf_params(jax.random.PRNGKey(1), model)
+    n = 157                      # prime-ish: 157 % 8 != 0; chunks of 60 too
+    d = jax.random.normal(jax.random.PRNGKey(2), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    args = (jnp.zeros((n, 3)), d, jnp.ones((n, 1)), d)
+
+    hyper = EvalHyper(model=model, nc_eval=8, nf_eval=8, samp_near=2.0,
+                      samp_far=6.0, use_pallas=True, pallas_interpret=True)
+    t_mesh = make_tile_renderer(hyper, pb, db, plan=plan)
+    t_one = make_tile_renderer(hyper, pb, db)
+    o_m = render_rays_chunked(t_mesh, pc, pf, *args, eval_chunk=60)
+    o_1 = render_rays_chunked(t_one, pc, pf, *args, eval_chunk=60)
+    np.testing.assert_allclose(np.asarray(o_m["rgb"]), np.asarray(o_1["rgb"]),
+                               atol=2e-5)
+
+
 def test_sharded_scene_gather_matches_replicated():
     """Frame-sharded image bank (--shard_scene): the shard_map masked
     gather + psum pixel fetch returns bit-identical batches to the
