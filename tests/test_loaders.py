@@ -187,3 +187,29 @@ def test_llff_recenter_matches_reference_math(tmp_path):
     K = sc.frames[0].K
     np.testing.assert_allclose(K[0, 2], 16 / 2)
     np.testing.assert_allclose(K[1, 2], 12 / 2)
+
+
+def test_make_360_scene_generator(tmp_path):
+    """The unbounded-360 generator: every ray terminates (sky shell encloses
+    the cameras — RGB output, no alpha), images load through the Blender
+    loader, and backgrounds differ across azimuth (real parallax for the
+    contraction harness)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+    root = tmp_path / "u360"
+    r = subprocess.run(
+        [sys.executable, "tests/make_360_scene.py", str(root),
+         "--views", "4", "--size", "24", "--val_views", "1"],
+        capture_output=True, text=True,
+        cwd=Path(__file__).resolve().parent.parent)
+    assert r.returncode == 0, r.stderr[-2000:]
+    scene = BlenderSceneLoader(root).load("train")
+    assert len(scene) == 4
+    img0 = np.asarray(scene.frames[0].image)
+    img2 = np.asarray(scene.frames[2].image)
+    assert img0.shape == (24, 24, 3)          # RGB, no alpha channel
+    # opposite-azimuth views see different hills/sky
+    assert float(np.abs(img0 - img2).mean()) > 0.02
+    # sky rows (top of frame) are non-black everywhere: rays terminated
+    assert float(img0[0].min()) > 0.0
