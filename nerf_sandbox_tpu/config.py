@@ -288,6 +288,12 @@ class Config:
     kp_line_res: int = 512
     kp_line_features: int = 16
     kp_aabb_scale: float = 1.5
+    # >0: concat a parameter-free L-band freq encoding of the (contracted)
+    # box coords to the plane features — the unbounded-scene hybrid
+    # (RESULTS.md "Unbounded-360" #5: the enclosing background shell
+    # contaminates every axis-aligned plane projection; freq channels
+    # give the MLP an uncontaminated positional signal). 0 = off.
+    kp_hybrid_freqs: int = 0
     # Eval-only plane downsample factor (1 = off): bilinear-resample the
     # plane tables before full-image renders; 4x encode-FLOP cut per
     # factor-2 (the eval tax is the 2QR^2F one-hot contraction).
@@ -479,6 +485,9 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--kp_line_res", type=int, default=d.kp_line_res)
     g.add_argument("--kp_line_features", type=int, default=d.kp_line_features)
     g.add_argument("--kp_aabb_scale", type=float, default=d.kp_aabb_scale)
+    g.add_argument("--kp_hybrid_freqs", type=int, default=d.kp_hybrid_freqs,
+                   help="concat an L-band freq encoding to the kplanes "
+                        "features (unbounded-scene hybrid; try 6)")
 
     g = p.add_argument_group("tpu")
     g.add_argument("--scan_steps", type=int, default=d.scan_steps,

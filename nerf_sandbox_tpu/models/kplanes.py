@@ -50,10 +50,20 @@ class KPlanesConfig(NamedTuple):
     aabb_scale: float = 1.5         # world coords in [-aabb_scale, aabb_scale]^3
     chunk: int = 32768              # internal Q-chunk (bounds the (Q,R,F)
                                     # intermediate to chunk*R*F elements)
+    # >0: concatenate a parameter-free frequency encoding (L=hybrid_freqs,
+    # include_input, of the box-normalized coords) to the plane features.
+    # Built for contracted UNBOUNDED scenes, where the enclosing background
+    # shell contaminates every axis-aligned plane projection (RESULTS.md
+    # "Unbounded-360" finding 5) — the freq channels give the MLP an
+    # uncontaminated positional signal to disambiguate with. 0 = off.
+    hybrid_freqs: int = 0
 
     @property
     def out_dim(self) -> int:
-        return len(self.plane_res) * self.plane_features + self.line_features
+        d = len(self.plane_res) * self.plane_features + self.line_features
+        if self.hybrid_freqs > 0:
+            d += 3 + 6 * self.hybrid_freqs          # include_input layout
+        return d
 
 
 def init_kplanes_params(key: jax.Array, cfg: KPlanesConfig) -> dict:
@@ -155,10 +165,22 @@ def kplanes_encode(params: dict, pts_world: jnp.ndarray,
     Q = pts_world.shape[0]
     x01 = jnp.clip(pts_world / (2.0 * cfg.aabb_scale) + 0.5, 0.0, 1.0)
     if Q <= cfg.chunk:
-        return _encode_chunk(params, x01, cfg, compute_dtype)
-    n_chunks = -(-Q // cfg.chunk)
-    pad = n_chunks * cfg.chunk - Q
-    xp = jnp.pad(x01, ((0, pad), (0, 0))).reshape(n_chunks, cfg.chunk, 3)
-    out = jax.lax.map(
-        lambda xc: _encode_chunk(params, xc, cfg, compute_dtype), xp)
-    return out.reshape(n_chunks * cfg.chunk, cfg.out_dim)[:Q]
+        feats = _encode_chunk(params, x01, cfg, compute_dtype)
+    else:
+        n_chunks = -(-Q // cfg.chunk)
+        pad = n_chunks * cfg.chunk - Q
+        xp = jnp.pad(x01, ((0, pad), (0, 0))).reshape(n_chunks, cfg.chunk, 3)
+        out = jax.lax.map(
+            lambda xc: _encode_chunk(params, xc, cfg, compute_dtype), xp)
+        feats = out.reshape(n_chunks * cfg.chunk, -1)[:Q]
+    if cfg.hybrid_freqs > 0:
+        # parameter-free frequency channels of the box-normalized coords
+        # ([-1,1]; same coords the planes see) — cheap (no tables), fp32
+        from nerf_sandbox_tpu.core.encoding import (make_frequency_bands,
+                                                    positional_encoding)
+        bands = jnp.asarray(make_frequency_bands(cfg.hybrid_freqs),
+                            jnp.float32)
+        freq = positional_encoding((x01 * 2.0 - 1.0).astype(jnp.float32),
+                                   bands)
+        feats = jnp.concatenate([feats, freq], axis=-1)
+    return feats

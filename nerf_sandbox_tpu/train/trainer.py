@@ -247,6 +247,12 @@ class Trainer:
         elif self.pos_encoder == "kplanes":
             from nerf_sandbox_tpu.models.kplanes import KPlanesConfig
             aabb = float(cfg.kp_aabb_scale)
+            if self.scene_contraction and \
+                    int(getattr(cfg, "kp_hybrid_freqs", 0) or 0) == 0:
+                print("[cfg] hint: kplanes on a CONTRACTED scene measures "
+                      "~11 dB better with --kp_hybrid_freqs 6 (the "
+                      "enclosing background shell contaminates plane "
+                      "projections; RESULTS.md 'Unbounded-360' #5)")
             if self.scene_contraction and aabb < 2.0:
                 print("[cfg] scene_contraction: kp_aabb_scale raised to "
                       "2.0 (contracted coords span the radius-2 ball)")
@@ -256,7 +262,8 @@ class Trainer:
                                 str(cfg.kp_plane_res).split(",") if r),
                 plane_features=cfg.kp_plane_features,
                 line_res=cfg.kp_line_res, line_features=cfg.kp_line_features,
-                aabb_scale=aabb)
+                aabb_scale=aabb,
+                hybrid_freqs=int(getattr(cfg, "kp_hybrid_freqs", 0) or 0))
             enc_pos_dim = self.enc_cfg.out_dim
         else:
             enc_pos_dim = encoder_out_dim(3, cfg.pos_num_freqs,

@@ -150,3 +150,30 @@ def test_cli_train_smoke(tmp_path):
     assert (out / "checkpoints" / "ckpt_0000006.ckpt").exists()
     main(argv[: argv.index("--max_steps") + 1] + ["8"]
          + argv[argv.index("--max_steps") + 2:] + ["--resume", "latest"])
+
+
+def test_kplanes_hybrid_freqs():
+    """--kp_hybrid_freqs: out_dim grows by 3+6L; the tail of the encoding
+    is exactly the positional encoding of the box-normalized coords (the
+    plane features are untouched); works through the chunked path too."""
+    from nerf_sandbox_tpu.core.encoding import (make_frequency_bands,
+                                                positional_encoding)
+    base = KPlanesConfig(plane_res=(8,), plane_features=4, line_res=16,
+                         line_features=4, aabb_scale=2.0, chunk=64)
+    hyb = base._replace(hybrid_freqs=3)
+    assert hyb.out_dim == base.out_dim + 3 + 6 * 3
+
+    key = jax.random.PRNGKey(0)
+    params = init_kplanes_params(key, base)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (100, 3),
+                             minval=-2.0, maxval=2.0)   # > chunk → chunked
+    e_base = kplanes_encode(params, pts, base, compute_dtype=jnp.float32)
+    e_hyb = kplanes_encode(params, pts, hyb, compute_dtype=jnp.float32)
+    assert e_hyb.shape == (100, hyb.out_dim)
+    np.testing.assert_array_equal(np.asarray(e_hyb[:, :base.out_dim]),
+                                  np.asarray(e_base))
+    xn = np.clip(np.asarray(pts) / (2 * 2.0) + 0.5, 0, 1) * 2 - 1
+    want = positional_encoding(jnp.asarray(xn, jnp.float32),
+                               jnp.asarray(make_frequency_bands(3)))
+    np.testing.assert_allclose(np.asarray(e_hyb[:, base.out_dim:]),
+                               np.asarray(want), rtol=1e-5, atol=1e-6)
