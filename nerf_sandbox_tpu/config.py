@@ -260,6 +260,12 @@ class Config:
     # untrained proposal resamples near-uniformly. 0 = off.
     prop_anneal_steps: int = 0
     prop_anneal_slope: float = 10.0
+    # persistent uniform floor on the proposal resample PDF,
+    # (1-f)·ŵ + f/M — occupancy's explore_frac analogue. Keeps a fraction
+    # of the main model's samples covering the full range forever, so grid
+    # encoders (kplanes) keep receiving gradient outside the proposal's
+    # peaks. 0 = off (pure mip-NeRF 360 behavior).
+    prop_explore_floor: float = 0.0
     # mip-NeRF 360 distortion loss (L_dist §4) on the fine/main weights:
     # compacts each ray's histogram; THE floater/fog fix for unbounded
     # scenes (measured on tests/make_360_scene.py — RESULTS.md). Applies
@@ -453,6 +459,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "histogram over this many steps (0 = off)")
     g.add_argument("--prop_anneal_slope", type=float,
                    default=d.prop_anneal_slope)
+    g.add_argument("--prop_explore_floor", type=float,
+                   default=d.prop_explore_floor,
+                   help="persistent uniform floor on the proposal resample "
+                        "PDF (occupancy explore_frac analogue; keeps grid "
+                        "encoders fed outside the proposal's peaks)")
     g.add_argument("--distortion_weight", type=float,
                    default=d.distortion_weight,
                    help="mip-NeRF 360 distortion loss weight on the "

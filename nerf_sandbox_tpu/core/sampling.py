@@ -140,7 +140,8 @@ def merge_z_samples(z_coarse: jnp.ndarray, z_fine: jnp.ndarray) -> jnp.ndarray:
 
 def resample_midpoints(z: jnp.ndarray, w: jnp.ndarray, n: int, *,
                        key=None, deterministic: bool = False,
-                       stop_grad: bool = True, power=None) -> jnp.ndarray:
+                       stop_grad: bool = True, power=None,
+                       explore_floor: float = 0.0) -> jnp.ndarray:
     """Fine z's from a coarse pass's per-sample weights — the caller-side
     convention around ``sample_pdf`` (trainer.py:926-934): bins are the z
     midpoints, bin weights the averaged interval weights, detached, +1e-5
@@ -151,7 +152,13 @@ def resample_midpoints(z: jnp.ndarray, w: jnp.ndarray, n: int, *,
     before the inverse-CDF draw — the mip-NeRF 360 proposal *anneal*
     (w^anneal with anneal ramping 0→1 flattens early resampling toward
     uniform so the untrained proposal cannot starve scene regions of main
-    samples). May be a traced scalar; power=1 is bit-identical to off."""
+    samples). May be a traced scalar; power=1 is bit-identical to off.
+
+    ``explore_floor`` (0 = off): blend the per-ray normalized PDF with a
+    uniform floor, (1-f)·ŵ + f/M — a PERSISTENT fraction of the draws
+    always covers the whole range (occupancy's ``explore_frac`` analogue
+    for proposal resampling; keeps grid encoders receiving gradient
+    outside the proposal's current peaks)."""
     mids = 0.5 * (z[..., 1:] + z[..., :-1])
     wb = 0.5 * (w[..., 1:] + w[..., :-1])
     if stop_grad:
@@ -159,6 +166,9 @@ def resample_midpoints(z: jnp.ndarray, w: jnp.ndarray, n: int, *,
     wb = wb + 1e-5
     if power is not None:
         wb = wb ** power
+    if explore_floor and explore_floor > 0.0:
+        wb_hat = wb / jnp.sum(wb, axis=-1, keepdims=True)
+        wb = (1.0 - explore_floor) * wb_hat + explore_floor / wb.shape[-1]
     return sample_pdf(mids, wb, n, key=key,
                       deterministic=deterministic)
 

@@ -75,6 +75,14 @@ class TrainHyper(NamedTuple):
     # proposal cannot starve scene regions. 0 = off.
     prop_anneal_steps: int = 0
     prop_anneal_slope: float = 10.0
+    # persistent uniform floor on the proposal resample PDF (analogue of
+    # occupancy's ``explore_frac``, which measurement showed must be
+    # PERSISTENT for thin/far content — RESULTS.md "NDC occupancy explore
+    # floor"). The blended PDF is (1-f)·ŵ + f·uniform, so a fraction f of
+    # the main model's samples always covers the full [near, far] range
+    # and grid encoders (kplanes) keep receiving gradient outside the
+    # proposal's current peaks. 0 = off (pure mip-NeRF 360 behavior).
+    prop_explore_floor: float = 0.0
     # mip-NeRF 360 scene contraction of encoder inputs (unbounded scenes)
     scene_contraction: bool = False
     # mip-NeRF 360 distortion loss on the fine/main weights (L_dist, §4):
@@ -274,7 +282,8 @@ def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
         scene_contraction=hyper.scene_contraction)
 
     zf = resample_midpoints(zp, w_p, hyper.nf, key=k_pdf,
-                            deterministic=hyper.det_fine, power=anneal)
+                            deterministic=hyper.det_fine, power=anneal,
+                            explore_floor=hyper.prop_explore_floor)
     z = jnp.sort(jax.lax.stop_gradient(zf), axis=-1)
 
     comp_f, w_f, _, _ = nerf_forward_pass(

@@ -411,6 +411,8 @@ class Trainer:
             interlevel_weight=float(cfg.interlevel_weight),
             prop_anneal_steps=int(getattr(cfg, "prop_anneal_steps", 0) or 0),
             prop_anneal_slope=float(getattr(cfg, "prop_anneal_slope", 10.0)),
+            prop_explore_floor=float(getattr(cfg, "prop_explore_floor", 0.0)
+                                     or 0.0),
             scene_contraction=self.scene_contraction,
             distortion_weight=float(getattr(cfg, "distortion_weight", 0.0)
                                     or 0.0),

@@ -99,3 +99,55 @@ def test_cli_proposal_e2e(tmp_path):
     # resume continues in proposal mode (prop params restore into the slot)
     argv[argv.index("--max_steps") + 1] = "6"
     main(argv + ["--resume", "latest"])
+
+
+def test_resample_explore_floor_spreads_samples():
+    """With a concentrated PDF, explore_floor=f keeps ~f of deterministic
+    draws covering the rest of the range; floor=0 is the unchanged path."""
+    from nerf_sandbox_tpu.core.sampling import resample_midpoints
+    z = jnp.linspace(2.0, 6.0, 33)[None]                  # (1, 33)
+    w = jnp.zeros((1, 33)).at[0, 16].set(1.0)             # delta mid-ray
+    zf0 = resample_midpoints(z, w, 64, deterministic=True)
+    zf0b = resample_midpoints(z, w, 64, deterministic=True,
+                              explore_floor=0.0)
+    np.testing.assert_array_equal(np.asarray(zf0), np.asarray(zf0b))
+    # without a floor (and +1e-5 padding only) nearly all samples sit in
+    # the peak's two bins (width 0.25)
+    peak = float(jnp.mean(jnp.abs(zf0 - 4.0) < 0.3))
+    assert peak > 0.9
+    zf = resample_midpoints(z, w, 64, deterministic=True,
+                            explore_floor=0.5)
+    outside = float(jnp.mean(jnp.abs(zf - 4.0) >= 0.3))
+    # half the mass is uniform over [2,6] -> ~0.5*(1-0.6/4) = 0.42 outside
+    assert 0.3 < outside < 0.6
+    assert bool(jnp.all(jnp.diff(zf, axis=-1) >= 0))      # still sorted CDF
+
+
+def test_proposal_train_step_with_explore_floor():
+    """prop_explore_floor > 0 trains stably (finite, decreasing loss)."""
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+    from nerf_sandbox_tpu.data.sampler import RayBatchSpec, SceneArrays
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig
+    from nerf_sandbox_tpu.train.step import (
+        TrainHyper, build_train_step, init_train_state, make_optimizer)
+    from tests.test_train_step import _scene
+
+    arrs = SceneArrays.from_scene(_scene())
+    model = NeRFConfig(63, 27, n_layers=2, hidden_dim=64, skip_pos=1)
+    prop = NeRFConfig(63, 27, n_layers=2, hidden_dim=32, skip_pos=1)
+    hyper = TrainHyper(model=model, nc=8, nf=16, samp_near=2.0, samp_far=6.0,
+                       sampling_mode="proposal", prop_model=prop, n_prop=8,
+                       prop_explore_floor=0.3)
+    spec = RayBatchSpec(rays_per_batch=64, image_h=16, image_w=16)
+    tx = make_optimizer(5e-3, "none", {})
+    state = init_train_state(jax.random.PRNGKey(0), hyper, tx,
+                             near=2.0, far=6.0)
+    pos_b, dir_b = vanilla_encoders()
+    step_fn = build_train_step(hyper, spec, tx, jnp.asarray(pos_b),
+                               jnp.asarray(dir_b))
+    losses = []
+    for _ in range(30):
+        state, m = step_fn(state, arrs)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
