@@ -113,6 +113,13 @@ class Config:
     # pos_grid subtrees; Instant-NGP practice — tables want ~1e-2 while
     # the MLP wants 5e-4). 0 = shared lr (reference semantics).
     lr_grid: float = 0.0
+    # >0: decoupled per-step weight decay on grid tables, toward the
+    # family's neutral element (kplanes 1.0 — multiplicative features;
+    # hashgrid 0.0). 0 = off.
+    grid_weight_decay: float = 0.0
+    # >0: total-variation smoothness prior on the kplanes plane/line
+    # tables (k-planes §3.2). 0 = off.
+    kp_tv_weight: float = 0.0
     lr_scheduler: str = "cosine"
     lr_scheduler_params: Any = field(
         default_factory=lambda: {"eta_min": 5e-6, "T_max": 200_000})
@@ -372,6 +379,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    default=d.lr_scheduler_params,
                    help="JSON or Python dict, e.g. '{\"T_max\":200000,\"eta_min\":5e-6}'")
     g.add_argument("--grad_clip_norm", type=float, default=d.grad_clip_norm)
+    g.add_argument("--grid_weight_decay", type=float,
+                   default=d.grid_weight_decay,
+                   help="decoupled weight decay on grid tables toward the "
+                        "family-neutral value (kplanes 1.0, hashgrid 0.0)")
+    g.add_argument("--kp_tv_weight", type=float, default=d.kp_tv_weight,
+                   help="total-variation smoothness prior on the kplanes "
+                        "tables (k-planes practice: try 1e-4..1e-2)")
 
     g = p.add_argument_group("runtime")
     g.add_argument("--max_steps", type=int, default=d.max_steps)

@@ -114,6 +114,28 @@ def resize_kplanes_params(params: dict, cfg: KPlanesConfig,
     return new, cfg._replace(plane_res=tuple(plane_res))
 
 
+def kplanes_tv(params: dict) -> jnp.ndarray:
+    """Total-variation regularizer over the plane tables (k-planes §3.2 —
+    the family's standard smoothness prior; Fridovich-Keil et al. 2023).
+
+    Mean squared difference of adjacent texels along both plane axes,
+    averaged over planes/scales/features. Dense VPU work over the raw
+    tables (~400k elements at the default config) — negligible next to a
+    train step. CP lines are included for the same reason at the same
+    cost. Decoupled from the optimizer so it composes with --lr_grid."""
+    tv = 0.0
+    n = 0
+    for name, P in params.items():
+        if name.startswith("plane"):                      # (R, R, F)
+            tv = tv + jnp.mean((P[1:] - P[:-1]) ** 2) \
+                    + jnp.mean((P[:, 1:] - P[:, :-1]) ** 2)
+            n += 2
+        elif name.startswith("line"):                     # (R, F)
+            tv = tv + jnp.mean((P[1:] - P[:-1]) ** 2)
+            n += 1
+    return tv / max(n, 1)
+
+
 def _interp_weights(u01: jnp.ndarray, R: int) -> jnp.ndarray:
     """(Q,) coords in [0,1] → (Q, R) linear-interp weight rows
     (two adjacent non-zeros: 1-frac at u0, frac at u0+1).

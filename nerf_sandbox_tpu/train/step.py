@@ -91,6 +91,10 @@ class TrainHyper(NamedTuple):
     distortion_weight: float = 0.0
     # disparity-linear coarse/proposal sample spacing (bmild lindisp knob)
     lindisp: bool = False
+    # total-variation weight on the kplanes plane/line tables (k-planes
+    # §3.2 smoothness prior; models/kplanes.py:kplanes_tv). Applies to
+    # every model in the step that carries tables. 0 = off.
+    kp_tv_weight: float = 0.0
 
 
 class TrainState(NamedTuple):
@@ -120,10 +124,31 @@ def make_lr_schedule(name: str, lr: float, params: dict):
     raise ValueError(f"unknown lr scheduler '{name}'")
 
 
+def _decay_toward(wd: float, target: float) -> optax.GradientTransformation:
+    """Decoupled weight decay toward ``target``: u ← u − wd·(p − target).
+
+    Chained AFTER Adam so the decay bypasses the moment estimates (AdamW
+    semantics, Loshchilov & Hutter 2019), generalized to a non-zero target
+    for multiplicative parameterizations whose neutral element is 1."""
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        updates = jax.tree_util.tree_map(
+            lambda u, p: u - wd * (p - target), updates, params)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(lr: float, scheduler: str = "cosine",
                    scheduler_params: dict | None = None,
                    grad_clip_norm: float = 0.0,
-                   grid_lr: float = 0.0) -> optax.GradientTransformation:
+                   grid_lr: float = 0.0,
+                   grid_weight_decay: float = 0.0,
+                   grid_decay_target: float = 0.0
+                   ) -> optax.GradientTransformation:
     """One Adam over both models (trainer.py:383-391), optional global-norm
     clip (trainer.py:719-721).
 
@@ -131,13 +156,27 @@ def make_optimizer(lr: float, scheduler: str = "cosine",
     the kplanes / hashgrid families) their own Adam learning rate under the
     same scheduler shape (Instant-NGP practice: tables want ~1e-2 while the
     MLP wants 5e-4; eta_min scales proportionally). 0 = one shared lr —
-    reference semantics (the reference has no grid encoders)."""
+    reference semantics (the reference has no grid encoders).
+
+    ``grid_weight_decay`` > 0 adds decoupled per-step decay on the grid
+    tables toward ``grid_decay_target`` — the target matters: kplanes
+    features combine multiplicatively (neutral element 1.0, the init mean),
+    hash tables additively (neutral 0.0); the trainer picks per family."""
     schedule = make_lr_schedule(scheduler, lr, scheduler_params or {})
-    if grid_lr and grid_lr > 0:
-        sp = dict(scheduler_params or {})
-        if "eta_min" in sp and lr:
-            sp["eta_min"] = float(sp["eta_min"]) * grid_lr / lr
-        grid_schedule = make_lr_schedule(scheduler, grid_lr, sp)
+    grid_split = (grid_lr and grid_lr > 0) or \
+                 (grid_weight_decay and grid_weight_decay > 0)
+    if grid_split:
+        if grid_lr and grid_lr > 0:
+            sp = dict(scheduler_params or {})
+            if "eta_min" in sp and lr:
+                sp["eta_min"] = float(sp["eta_min"]) * grid_lr / lr
+            grid_schedule = make_lr_schedule(scheduler, grid_lr, sp)
+        else:
+            grid_schedule = schedule
+        grid_tx = optax.adam(grid_schedule)
+        if grid_weight_decay and grid_weight_decay > 0:
+            grid_tx = optax.chain(
+                grid_tx, _decay_toward(grid_weight_decay, grid_decay_target))
 
         def labels(params):
             return jax.tree_util.tree_map_with_path(
@@ -145,8 +184,7 @@ def make_optimizer(lr: float, scheduler: str = "cosine",
                     getattr(k, "key", None) == "pos_grid" for k in path)
                 else "mlp", params)
         tx = optax.multi_transform(
-            {"mlp": optax.adam(schedule), "grid": optax.adam(grid_schedule)},
-            labels)
+            {"mlp": optax.adam(schedule), "grid": grid_tx}, labels)
     else:
         tx = optax.adam(schedule)
     if grad_clip_norm and grad_clip_norm > 0:
@@ -381,6 +419,17 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
     plan = plan or MeshPlan(mesh=None)
     base_key = jax.random.PRNGKey(base_seed)
 
+    def grid_reg(params_cf):
+        """Batch-independent table regularizer (added once per step, OUTSIDE
+        the micro-chunk scan — it does not average over sub-batches)."""
+        if hyper.kp_tv_weight <= 0 or hyper.pos_encoder != "kplanes":
+            return 0.0
+        from nerf_sandbox_tpu.models.kplanes import kplanes_tv
+        reg = kplanes_tv(params_cf["f"]["pos_grid"])
+        if isinstance(params_cf["c"], dict) and "pos_grid" in params_cf["c"]:
+            reg = reg + kplanes_tv(params_cf["c"]["pos_grid"])
+        return hyper.kp_tv_weight * reg
+
     def loss_fn(params_cf, batch, key):
         if hyper.micro_chunks and hyper.micro_chunks > 1:
             m = hyper.micro_chunks
@@ -402,7 +451,7 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
             lc, lf = _coarse_fine_losses(
                 params_cf["c"], params_cf["f"], batch, key, hyper,
                 pos_bands, dir_bands)
-        return lc + lf, lf
+        return lc + lf + grid_reg(params_cf), lf
 
     def occ_loss_fn(params_cf, batch, key, occ_grid, step):
         if hyper.occ_explore_anneal and hyper.occ_explore_anneal > 0:
@@ -434,7 +483,7 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
             reg, lf = _occupancy_loss(params_cf["f"], occ_grid, batch, key,
                                       hyper, pos_bands, dir_bands,
                                       uniform_blend=blend)
-        return lf + reg, lf
+        return lf + reg + grid_reg(params_cf), lf
 
     def prop_loss_fn(params_cf, batch, key, step):
         if hyper.prop_anneal_steps and hyper.prop_anneal_steps > 0:
@@ -466,7 +515,7 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
             reg, lf = _proposal_loss(params_cf["c"], params_cf["f"], batch,
                                      key, hyper, pos_bands, dir_bands,
                                      anneal=anneal)
-        return lf + reg, lf
+        return lf + reg + grid_reg(params_cf), lf
 
     occupancy = hyper.sampling_mode == "occupancy"
     proposal = hyper.sampling_mode == "proposal"

@@ -416,22 +416,35 @@ class Trainer:
             scene_contraction=self.scene_contraction,
             distortion_weight=float(getattr(cfg, "distortion_weight", 0.0)
                                     or 0.0),
-            lindisp=self.lindisp)
+            lindisp=self.lindisp,
+            kp_tv_weight=(float(getattr(cfg, "kp_tv_weight", 0.0) or 0.0)
+                          if self.pos_encoder == "kplanes" else 0.0))
+        if (float(getattr(cfg, "kp_tv_weight", 0.0) or 0.0) > 0
+                and self.pos_encoder != "kplanes"):
+            print("[cfg] note: --kp_tv_weight has no effect without "
+                  "--encoder kplanes")
 
         sched_params = dict(cfg.lr_scheduler_params or {})
         sched_params.setdefault("T_max", cfg.max_steps)
         grid_lr = float(getattr(cfg, "lr_grid", 0.0) or 0.0)
-        if grid_lr > 0 and self.pos_encoder not in ("hashgrid", "kplanes"):
-            print("[cfg] note: --lr_grid has no effect without a grid "
-                  "encoder (--encoder kplanes|hashgrid)")
-            grid_lr = 0.0
+        grid_wd = float(getattr(cfg, "grid_weight_decay", 0.0) or 0.0)
+        if ((grid_lr > 0 or grid_wd > 0)
+                and self.pos_encoder not in ("hashgrid", "kplanes")):
+            print("[cfg] note: --lr_grid/--grid_weight_decay have no effect "
+                  "without a grid encoder (--encoder kplanes|hashgrid)")
+            grid_lr = grid_wd = 0.0
+        # decay target = the family's neutral element: kplanes features
+        # combine multiplicatively (init ~N(1, 0.1)), hash tables additively
+        grid_wd_target = 1.0 if self.pos_encoder == "kplanes" else 0.0
         self.tx = make_optimizer(cfg.lr, cfg.lr_scheduler, sched_params,
                                  grad_clip_norm=cfg.grad_clip_norm,
-                                 grid_lr=grid_lr)
+                                 grid_lr=grid_lr,
+                                 grid_weight_decay=grid_wd,
+                                 grid_decay_target=grid_wd_target)
         self.lr_info = {"lr": cfg.lr, "scheduler": cfg.lr_scheduler,
                         "params": sched_params,
                         "grad_clip_norm": cfg.grad_clip_norm,
-                        "lr_grid": grid_lr}
+                        "lr_grid": grid_lr, "grid_weight_decay": grid_wd}
 
         init_acc = (None if cfg.vanilla or not cfg.initial_acc_opacity
                     else float(cfg.initial_acc_opacity))

@@ -177,3 +177,89 @@ def test_kplanes_hybrid_freqs():
                                jnp.asarray(make_frequency_bands(3)))
     np.testing.assert_allclose(np.asarray(e_hyb[:, base.out_dim:]),
                                np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_kplanes_tv_contract():
+    """TV prior: 0 on constant tables, positive on noise, smaller on smooth
+    ramps than on noise of the same magnitude."""
+    from nerf_sandbox_tpu.models.kplanes import kplanes_tv
+    cfg = KPlanesConfig(plane_res=(8,), plane_features=2, line_res=16,
+                        line_features=2)
+    const = {k: jnp.ones_like(v) for k, v in
+             init_kplanes_params(jax.random.PRNGKey(0), cfg).items()}
+    assert float(kplanes_tv(const)) == 0.0
+
+    noisy = init_kplanes_params(jax.random.PRNGKey(0), cfg)
+    tv_noisy = float(kplanes_tv(noisy))
+    assert tv_noisy > 0.0
+
+    # same per-texel std (0.1) as the init, but varying smoothly
+    ramp = jnp.linspace(-0.1, 0.1, 8)
+    smooth = dict(const)
+    for name in list(smooth):
+        if name.startswith("plane"):
+            smooth[name] = 1.0 + jnp.broadcast_to(
+                ramp[:, None, None], smooth[name].shape)
+    assert float(kplanes_tv(smooth)) < 0.1 * tv_noisy
+
+    # gradient flows into the tables
+    g = jax.grad(kplanes_tv)(noisy)
+    assert all(np.isfinite(np.asarray(v)).all() for v in g.values())
+    assert float(jnp.abs(g["plane0_xy"]).max()) > 0.0
+
+
+def test_grid_weight_decay_moves_tables_toward_neutral():
+    """With zero gradients, --grid_weight_decay pulls pos_grid toward the
+    target (kplanes neutral 1.0) and leaves MLP params untouched."""
+    from nerf_sandbox_tpu.train.step import make_optimizer
+    tx = make_optimizer(1e-3, "none", {}, grid_weight_decay=0.1,
+                        grid_decay_target=1.0)
+    params = {"f": {"trunk": jnp.full((4,), 3.0),
+                    "pos_grid": {"plane0_xy": jnp.full((4,), 3.0)}}}
+    state = tx.init(params)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(zeros, state, params)
+    import optax
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(new["f"]["trunk"]), 3.0)
+    # grid moved toward 1.0 by wd*(p-target) = 0.1*2 = 0.2
+    np.testing.assert_allclose(
+        np.asarray(new["f"]["pos_grid"]["plane0_xy"]), 2.8, rtol=1e-6)
+
+
+def test_kp_tv_weight_train_step_smooths_tables():
+    """A train step with --kp_tv_weight trains stably and ends with
+    smoother tables than the same run without it."""
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+    from nerf_sandbox_tpu.data.sampler import RayBatchSpec, SceneArrays
+    from nerf_sandbox_tpu.models.kplanes import kplanes_tv
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig
+    from nerf_sandbox_tpu.train.step import (
+        TrainHyper, build_train_step, init_train_state, make_optimizer)
+    from tests.test_train_step import _scene
+
+    arrs = SceneArrays.from_scene(_scene())
+    kcfg = KPlanesConfig(plane_res=(8,), plane_features=4, line_res=16,
+                         line_features=4, chunk=4096)
+    model = NeRFConfig(kcfg.out_dim, 27, n_layers=2, hidden_dim=64,
+                       skip_pos=1)
+    spec = RayBatchSpec(rays_per_batch=64, image_h=16, image_w=16)
+    pos_b, dir_b = vanilla_encoders()
+
+    def run(tv):
+        hyper = TrainHyper(model=model, nc=8, nf=16, samp_near=2.0,
+                           samp_far=6.0, pos_encoder="kplanes", enc_cfg=kcfg,
+                           kp_tv_weight=tv)
+        tx = make_optimizer(5e-3, "none", {}, grid_lr=5e-2)
+        state = init_train_state(jax.random.PRNGKey(0), hyper, tx,
+                                 near=2.0, far=6.0)
+        step_fn = build_train_step(hyper, spec, tx, jnp.asarray(pos_b),
+                                   jnp.asarray(dir_b))
+        losses = []
+        for _ in range(25):
+            state, m = step_fn(state, arrs)
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        return float(kplanes_tv(state.params_f["pos_grid"]))
+
+    assert run(tv=1e-2) < run(tv=0.0)
