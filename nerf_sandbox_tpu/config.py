@@ -278,6 +278,11 @@ class Config:
     # scenes (measured on tests/make_360_scene.py — RESULTS.md). Applies
     # in every sampling mode. 0 = off (reference semantics).
     distortion_weight: float = 0.0
+    # >0: ramp the distortion weight linearly 0->full over this many
+    # steps. Full-strength distortion at init + importance placement +
+    # a fast grid encoder collapses to a wrong-depth optimum (measured,
+    # seed-dependent; RESULTS.md "Distortion-loss collapse"). 0 = off.
+    distortion_anneal_steps: int = 0
     # mip-NeRF 360 scene contraction of encoder inputs: maps R^3 into the
     # radius-2 ball (unbounded/360 scenes). Ignored under --use_ndc.
     scene_contraction: bool = False
@@ -482,7 +487,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    default=d.distortion_weight,
                    help="mip-NeRF 360 distortion loss weight on the "
                         "fine/main weights (floater fix for unbounded "
-                        "scenes; try 0.01-0.1)")
+                        "scenes; try 0.01-0.1 — but <=3e-3 or an onset "
+                        "ramp with grid encoders under proposal/"
+                        "hierarchical sampling)")
+    g.add_argument("--distortion_anneal_steps", type=int,
+                   default=d.distortion_anneal_steps,
+                   help="ramp the distortion weight 0->full over this "
+                        "many steps (collapse fix for fast grid encoders "
+                        "under importance placement)")
     g.add_argument("--scene_contraction", type=str2bool,
                    default=d.scene_contraction,
                    help="mip-NeRF 360 contraction of encoder inputs "

@@ -89,6 +89,14 @@ class TrainHyper(NamedTuple):
     # compacts each ray's histogram — the near-camera floater/fog fix an
     # unbounded scene needs (core/sampling.py:distortion_loss). 0 = off.
     distortion_weight: float = 0.0
+    # >0: ramp the distortion weight linearly 0→full over this many steps.
+    # L_dist's gradient exists only at sample locations; under importance
+    # placement (proposal/hierarchical) + a fast grid encoder, full-strength
+    # distortion at init rewards collapsing mass onto whatever wrong-depth
+    # cluster the early samples form (RESULTS.md "Distortion-loss
+    # collapse", seed-dependent). Delaying the onset lets photometric loss
+    # establish geometry first. 0 = constant weight from step 0.
+    distortion_anneal_steps: int = 0
     # disparity-linear coarse/proposal sample spacing (bmild lindisp knob)
     lindisp: bool = False
     # total-variation weight on the kplanes plane/line tables (k-planes
@@ -235,7 +243,8 @@ def init_train_state(key: jax.Array, hyper: TrainHyper, tx, *,
 
 
 def _occupancy_loss(params_f, occ_grid, batch, key, hyper: TrainHyper,
-                    pos_bands, dir_bands, uniform_blend=None):
+                    pos_bands, dir_bands, uniform_blend=None,
+                    dist_scale=None):
     """Occupancy-mode loss: grid probes place ALL samples; one model eval.
 
     Replaces the coarse NeRF pass entirely (models/occupancy.py) — the
@@ -277,11 +286,13 @@ def _occupancy_loss(params_f, occ_grid, batch, key, hyper: TrainHyper,
     if hyper.distortion_weight > 0:
         reg = hyper.distortion_weight * distortion_loss(
             z, w_f, hyper.samp_near, hyper.samp_far, lindisp=hyper.lindisp)
+        if dist_scale is not None:
+            reg = reg * dist_scale
     return reg, loss_f
 
 
 def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
-                   pos_bands, dir_bands, anneal=None):
+                   pos_bands, dir_bands, anneal=None, dist_scale=None):
     """Proposal-mode loss (mip-NeRF 360-style, beyond-reference).
 
     A small freq-encoded density MLP (``params_p``, the coarse slot)
@@ -345,13 +356,14 @@ def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
     il = interlevel_loss(z, jax.lax.stop_gradient(w_f), zp, w_p)
     reg = hyper.interlevel_weight * il
     if hyper.distortion_weight > 0:
-        reg = reg + hyper.distortion_weight * distortion_loss(
+        dist = hyper.distortion_weight * distortion_loss(
             z, w_f, hyper.samp_near, hyper.samp_far, lindisp=hyper.lindisp)
+        reg = reg + (dist * dist_scale if dist_scale is not None else dist)
     return reg, mse_f
 
 
 def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
-                        pos_bands, dir_bands):
+                        pos_bands, dir_bands, dist_scale=None):
     """Coarse+fine forward and per-model MSE for one ray (sub-)batch.
 
     When ``hyper.distortion_weight`` > 0 the (pre-scaled) distortion term
@@ -396,9 +408,11 @@ def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
     loss_c = jnp.mean((comp_c - target) ** 2)
     loss_f = jnp.mean((comp_f - target) ** 2)
     if hyper.distortion_weight > 0:
-        loss_c = loss_c + hyper.distortion_weight * distortion_loss(
+        dist = hyper.distortion_weight * distortion_loss(
             z_all, w_f, hyper.samp_near, hyper.samp_far,
             lindisp=hyper.lindisp)
+        loss_c = loss_c + (dist * dist_scale if dist_scale is not None
+                           else dist)
     return loss_c, loss_f
 
 
@@ -430,7 +444,18 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
             reg = reg + kplanes_tv(params_cf["c"]["pos_grid"])
         return hyper.kp_tv_weight * reg
 
-    def loss_fn(params_cf, batch, key):
+    def dist_scale_of(step):
+        # linear 0->1 onset ramp for the distortion weight (see
+        # TrainHyper.distortion_anneal_steps)
+        if (hyper.distortion_weight <= 0
+                or not hyper.distortion_anneal_steps):
+            return None
+        return jnp.clip(
+            step.astype(jnp.float32) / hyper.distortion_anneal_steps,
+            0.0, 1.0)
+
+    def loss_fn(params_cf, batch, key, step):
+        dscale = dist_scale_of(step)
         if hyper.micro_chunks and hyper.micro_chunks > 1:
             m = hyper.micro_chunks
             B = batch["rgb"].shape[0]
@@ -443,17 +468,18 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
                 sub_batch, k = xs
                 lc, lf = _coarse_fine_losses(
                     params_cf["c"], params_cf["f"], sub_batch, k, hyper,
-                    pos_bands, dir_bands)
+                    pos_bands, dir_bands, dist_scale=dscale)
                 return (acc[0] + lc / m, acc[1] + lf / m), None
 
             (lc, lf), _ = jax.lax.scan(body, (0.0, 0.0), (chunked, keys))
         else:
             lc, lf = _coarse_fine_losses(
                 params_cf["c"], params_cf["f"], batch, key, hyper,
-                pos_bands, dir_bands)
+                pos_bands, dir_bands, dist_scale=dscale)
         return lc + lf + grid_reg(params_cf), lf
 
     def occ_loss_fn(params_cf, batch, key, occ_grid, step):
+        dscale = dist_scale_of(step)
         if hyper.occ_explore_anneal and hyper.occ_explore_anneal > 0:
             # linear 1→0 stratified blend over anneal steps (bootstrap:
             # sample everywhere while density is unlearned, then hand the
@@ -475,17 +501,19 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
                 sub_batch, k = xs
                 reg, lf = _occupancy_loss(params_cf["f"], occ_grid, sub_batch,
                                           k, hyper, pos_bands, dir_bands,
-                                          uniform_blend=blend)
+                                          uniform_blend=blend,
+                                          dist_scale=dscale)
                 return (acc[0] + reg / m, acc[1] + lf / m), None
 
             (reg, lf), _ = jax.lax.scan(body, (0.0, 0.0), (chunked, keys))
         else:
             reg, lf = _occupancy_loss(params_cf["f"], occ_grid, batch, key,
                                       hyper, pos_bands, dir_bands,
-                                      uniform_blend=blend)
+                                      uniform_blend=blend, dist_scale=dscale)
         return lf + reg + grid_reg(params_cf), lf
 
     def prop_loss_fn(params_cf, batch, key, step):
+        dscale = dist_scale_of(step)
         if hyper.prop_anneal_steps and hyper.prop_anneal_steps > 0:
             # Schlick bias ramp 0→1 over anneal_steps (mip-NeRF 360 §3):
             # b(x) = s·x / ((s-1)·x + 1); resample weights get w^b.
@@ -507,14 +535,15 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
                 sub_batch, k = xs
                 reg, lf = _proposal_loss(params_cf["c"], params_cf["f"],
                                          sub_batch, k, hyper, pos_bands,
-                                         dir_bands, anneal=anneal)
+                                         dir_bands, anneal=anneal,
+                                         dist_scale=dscale)
                 return (acc[0] + reg / m, acc[1] + lf / m), None
 
             (reg, lf), _ = jax.lax.scan(body, (0.0, 0.0), (chunked, keys))
         else:
             reg, lf = _proposal_loss(params_cf["c"], params_cf["f"], batch,
                                      key, hyper, pos_bands, dir_bands,
-                                     anneal=anneal)
+                                     anneal=anneal, dist_scale=dscale)
         return lf + reg + grid_reg(params_cf), lf
 
     occupancy = hyper.sampling_mode == "occupancy"
@@ -540,7 +569,8 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
                 step)
         else:
             (loss, mse_f), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                {"c": state.params_c, "f": state.params_f}, batch, k_loss)
+                {"c": state.params_c, "f": state.params_f}, batch, k_loss,
+                step)
 
         # Non-finite loss → skip the update, keep counting (trainer.py:713-716).
         finite = jnp.isfinite(loss)

@@ -416,6 +416,8 @@ class Trainer:
             scene_contraction=self.scene_contraction,
             distortion_weight=float(getattr(cfg, "distortion_weight", 0.0)
                                     or 0.0),
+            distortion_anneal_steps=int(
+                getattr(cfg, "distortion_anneal_steps", 0) or 0),
             lindisp=self.lindisp,
             kp_tv_weight=(float(getattr(cfg, "kp_tv_weight", 0.0) or 0.0)
                           if self.pos_encoder == "kplanes" else 0.0))
@@ -423,6 +425,22 @@ class Trainer:
                 and self.pos_encoder != "kplanes"):
             print("[cfg] note: --kp_tv_weight has no effect without "
                   "--encoder kplanes")
+        if (self.hyper.distortion_weight >= 5e-3
+                and self.hyper.distortion_anneal_steps == 0
+                and self.pos_encoder in ("kplanes", "hashgrid")
+                and self.sampling_mode in ("proposal", "hierarchical")):
+            # Measured (RESULTS.md "Distortion-loss collapse"): distortion
+            # gradient exists only AT sample locations; importance-placed
+            # samples cluster wherever the current histogram peaks, and a
+            # fast grid encoder can chase the concentration reward into a
+            # wrong-depth collapse (17.35 vs 25.35 dB @0.01 vs 0.001 on
+            # the 360 scene). Occupancy's thresholded placement is immune.
+            print(f"[cfg] WARNING: --distortion_weight "
+                  f"{self.hyper.distortion_weight:g} with a grid encoder "
+                  f"under {self.sampling_mode} sampling collapses to a "
+                  "wrong-depth optimum (measured -8 dB). Use ~1e-3, add "
+                  "--distortion_anneal_steps 1000, or --sampling occupancy "
+                  "which is immune at 1e-2.")
 
         sched_params = dict(cfg.lr_scheduler_params or {})
         sched_params.setdefault("T_max", cfg.max_steps)

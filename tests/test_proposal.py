@@ -151,3 +151,41 @@ def test_proposal_train_step_with_explore_floor():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_distortion_anneal_ramp():
+    """--distortion_anneal_steps ramps the distortion term 0->full: at
+    step 1 with a long ramp the loss matches distortion-off to ~the ramp
+    fraction, while the unramped loss is visibly larger."""
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+    from nerf_sandbox_tpu.data.sampler import RayBatchSpec, SceneArrays
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig
+    from nerf_sandbox_tpu.train.step import (
+        TrainHyper, build_train_step, init_train_state, make_optimizer)
+    from tests.test_train_step import _scene
+
+    arrs = SceneArrays.from_scene(_scene())
+    model = NeRFConfig(63, 27, n_layers=2, hidden_dim=64, skip_pos=1)
+    prop = NeRFConfig(63, 27, n_layers=2, hidden_dim=32, skip_pos=1)
+    spec = RayBatchSpec(rays_per_batch=64, image_h=16, image_w=16)
+    pos_b, dir_b = vanilla_encoders()
+
+    def first_loss(dw, anneal):
+        hyper = TrainHyper(model=model, nc=8, nf=16, samp_near=2.0,
+                           samp_far=6.0, sampling_mode="proposal",
+                           prop_model=prop, n_prop=8, raw_noise_std=0.0,
+                           distortion_weight=dw,
+                           distortion_anneal_steps=anneal)
+        tx = make_optimizer(5e-3, "none", {})
+        state = init_train_state(jax.random.PRNGKey(0), hyper, tx,
+                                 near=2.0, far=6.0)
+        step_fn = build_train_step(hyper, spec, tx, jnp.asarray(pos_b),
+                                   jnp.asarray(dir_b))
+        _, m = step_fn(state, arrs)
+        return float(m["loss"])
+
+    off = first_loss(0.0, 0)
+    ramped = first_loss(1.0, 100_000)       # step 1 -> scale 1e-5
+    full = first_loss(1.0, 0)
+    assert abs(ramped - off) < 0.05 * abs(full - off)
+    assert full > off                        # distortion really adds mass
