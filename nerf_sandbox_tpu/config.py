@@ -289,6 +289,11 @@ class Config:
     # Disparity-linear coarse/proposal sample spacing (bmild lindisp knob;
     # the reference hard-codes False). Requires near > 0.
     lindisp: bool = False
+    # mip-NeRF integrated positional encoding (Barron et al. 2021): each
+    # sample is a conical-frustum Gaussian over its interval and the freq
+    # encoding becomes its expectation — scale-aware / anti-aliased.
+    # freq encoder + non-NDC scenes only (the trainer gates + notes).
+    ipe: bool = False
 
     # Encoder family (new — BASELINE config #5 stretch)
     # positional = reference parity; hashgrid = Instant-NGP tables
@@ -501,6 +506,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(unbounded scenes; ignored under --use_ndc)")
     g.add_argument("--lindisp", type=str2bool, default=d.lindisp,
                    help="disparity-linear coarse/proposal sample spacing")
+    g.add_argument("--ipe", type=str2bool, default=d.ipe,
+                   help="mip-NeRF integrated positional encoding (anti-"
+                        "aliased freq encoder; non-NDC scenes)")
 
     g = p.add_argument_group("encoder family")
     g.add_argument("--encoder", choices=["positional", "hashgrid", "kplanes"],

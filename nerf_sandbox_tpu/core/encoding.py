@@ -16,6 +16,7 @@ consumes the already-encoded features).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -72,6 +73,117 @@ def vanilla_encoders():
     pos = make_frequency_bands(10)
     dirs = make_frequency_bands(4)
     return pos, dirs
+
+
+def z_to_intervals(z: jnp.ndarray):
+    """Per-sample integration intervals from sorted sample positions.
+
+    ``z``: (..., N) sorted. Returns (lower, upper), each (..., N): interior
+    edges are the midpoints between neighbours (the same partition the
+    stratified jitter and the integrator's deltas use); the first/last
+    edges extend symmetrically so every sample sits at (approximately) its
+    interval's centre. This adapts mip-NeRF's edge-based frustum casting
+    to this framework's point-sample contract (N samples, not N+1 edges).
+    """
+    mids = 0.5 * (z[..., 1:] + z[..., :-1])
+    lower = jnp.concatenate([2.0 * z[..., :1] - mids[..., :1], mids], axis=-1)
+    upper = jnp.concatenate([mids, 2.0 * z[..., -1:] - mids[..., -1:]], axis=-1)
+    return lower, upper
+
+
+def conical_frustum_moments(t0: jnp.ndarray, t1: jnp.ndarray,
+                            base_radius: jnp.ndarray):
+    """Gaussian moments of a conical frustum (mip-NeRF, Barron et al. 2021,
+    eq. 7 — the numerically 'stable' parameterization from the paper).
+
+    The frustum spans ray distances [t0, t1] on a cone whose cross-section
+    radius grows as ``base_radius * t``. Returns (t_mean, t_var, r_var):
+    the mean/variance of the distance along the ray axis and the variance
+    perpendicular to it, of a uniform distribution over the frustum volume.
+    Shapes broadcast; ``base_radius`` is typically (..., 1) per ray.
+    """
+    mu = (t0 + t1) / 2.0
+    hw = (t1 - t0) / 2.0
+    denom = 3.0 * mu ** 2 + hw ** 2
+    t_mean = mu + (2.0 * mu * hw ** 2) / denom
+    t_var = hw ** 2 / 3.0 - (4.0 / 15.0) * (
+        (hw ** 4 * (12.0 * mu ** 2 - hw ** 2)) / denom ** 2)
+    r_var = base_radius ** 2 * (
+        mu ** 2 / 4.0 + (5.0 / 12.0) * hw ** 2
+        - (4.0 / 15.0) * hw ** 4 / denom)
+    return t_mean, t_var, r_var
+
+
+def lift_gaussian_diag(d_unit: jnp.ndarray, t_mean: jnp.ndarray,
+                       t_var: jnp.ndarray, r_var: jnp.ndarray,
+                       rays_o: jnp.ndarray):
+    """Lift per-frustum axial/radial moments to world-space diagonal
+    Gaussians (mip-NeRF ``lift_gaussian``, diagonal covariance).
+
+    ``d_unit``/``rays_o``: (B, 3) unit directions and origins; ``t_mean``/
+    ``t_var``/``r_var``: (B, N). Returns (mean (B,N,3), var_diag (B,N,3)).
+    """
+    mean = rays_o[..., None, :] + d_unit[..., None, :] * t_mean[..., None]
+    d2 = d_unit ** 2                                   # (B, 3); sum = 1
+    var = (t_var[..., None] * d2[..., None, :]
+           + r_var[..., None] * (1.0 - d2[..., None, :]))
+    return mean, var
+
+
+def integrated_positional_encoding(mean: jnp.ndarray, var_diag: jnp.ndarray,
+                                   freq_bands: jnp.ndarray,
+                                   include_input: bool = True) -> jnp.ndarray:
+    """IPE (mip-NeRF eq. 14): the expected positional encoding of a
+    diagonal Gaussian, E[sin(f x)] = sin(f mu) * exp(-f^2 sigma^2 / 2).
+
+    Feature layout matches :func:`positional_encoding` exactly (per-band
+    sin blocks then cos blocks, mean prepended when ``include_input``), so
+    the same MLP consumes either — IPE with ``var_diag = 0`` reduces
+    bitwise to the point encoding. High frequencies attenuate smoothly to
+    zero as the Gaussian's footprint exceeds their period: the encoder
+    itself becomes scale-aware (anti-aliasing), which a point-sampled
+    encoding cannot express.
+    """
+    fb = freq_bands.astype(mean.dtype)
+    xb = mean[..., None, :] * fb[:, None]                    # (..., F, D)
+    att = jnp.exp(-0.5 * var_diag[..., None, :] * (fb ** 2)[:, None])
+    sin = jnp.sin(xb) * att
+    cos = jnp.cos(xb) * att
+    enc = jnp.concatenate([sin, cos], axis=-2)               # (..., 2F, D)
+    enc = enc.reshape(*mean.shape[:-1], -1)
+    if include_input:
+        enc = jnp.concatenate([mean, enc], axis=-1)
+    return enc
+
+
+def contract_gaussian_diag(mean: jnp.ndarray, var_diag: jnp.ndarray):
+    """Push a diagonal Gaussian through the scene contraction (mip-NeRF 360
+    eq. 8: the linearized warp f(mu) + J_f(mu)·(x-mu)).
+
+    diag(J Σ Jᵀ) with diagonal Σ is (J∘J)·σ² — exact under the
+    linearization. J is the contraction's analytic Jacobian via ``jacfwd``
+    (branchless, so one fused XLA program; 3 JVPs of VPU work per point).
+    """
+    shape = mean.shape
+    m = mean.reshape(-1, 3)
+    v = var_diag.reshape(-1, 3)
+    J = jax.vmap(jax.jacfwd(scene_contract))(m)              # (Q, 3, 3)
+    new_v = jnp.einsum("qij,qj->qi", J ** 2, v)
+    return scene_contract(m).reshape(shape), new_v.reshape(shape)
+
+
+def pixel_cone_radii(fx, d_norm: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray base radius of the pixel's viewing cone, in UNIT-direction
+    parameterization: r(t_metric) = radii * t_metric.
+
+    mip-NeRF computes radii as 2/sqrt(12) x the x-neighbour direction
+    difference of UNNORMALIZED dirs (||∂d/∂x|| = 1/fx for a pinhole —
+    rotation preserves it); dividing by ||d|| converts to the metric
+    (unit-direction) parameterization this framework marches in.
+    ``d_norm``: (..., 1) or (...,) pre-normalization direction norms.
+    """
+    r = (2.0 / jnp.sqrt(12.0)) / fx
+    return r / jnp.maximum(d_norm, 1e-9)
 
 
 def scene_contract(x: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:

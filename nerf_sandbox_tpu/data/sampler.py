@@ -5,7 +5,9 @@ Role parity: ``nerf_sandbox/source/data/samplers.py:22-291``
 (single-frame à la bmild, or mixed-frames), center precrop for the first
 ``precrop_iters`` steps, RGBA→white compositing, and the 7-key batch dict
 {rgb, rays_o_world, rays_d_world_unit, rays_d_world_norm, rays_o_marching,
-rays_d_marching_unit, rays_d_marching_norm} (samplers.py:193-201).
+rays_d_marching_unit, rays_d_marching_norm} (samplers.py:193-201) — plus a
+beyond-reference 8th key, ``radii`` (per-ray pixel-cone radii for the IPE
+encoder, core/encoding.py:pixel_cone_radii).
 
 TPU-first redesign: instead of a host-side Python iterator with CPU↔GPU
 pixel gathers and a per-frame fan-out loop (samplers.py:203-282), the whole
@@ -248,6 +250,12 @@ def sample_ray_batch(key: jax.Array, step: jnp.ndarray, scene: SceneArrays,
                      as_ndc=spec.as_ndc, near_plane=spec.near_plane)
     rays = jax.vmap(ray_fn)(Ks, c2ws, pixels_xy)
 
+    # Per-ray pixel-cone radii for IPE (core/encoding.py:pixel_cone_radii):
+    # fx is per-ray (mixed-frame batches may mix cameras). World-space —
+    # IPE is gated to non-NDC runs, where marching == world.
+    from nerf_sandbox_tpu.core.encoding import pixel_cone_radii
+    radii = pixel_cone_radii(cam_rows[:, 0], rays.d_world_norm[..., 0])
+
     return {
         "rgb": rgb,
         "rays_o_world": rays.o_world,
@@ -256,4 +264,5 @@ def sample_ray_batch(key: jax.Array, step: jnp.ndarray, scene: SceneArrays,
         "rays_o_marching": rays.o_march,
         "rays_d_marching_unit": rays.d_march_unit,
         "rays_d_marching_norm": rays.d_march_norm,
+        "radii": radii,
     }

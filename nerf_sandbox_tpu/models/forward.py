@@ -52,6 +52,8 @@ def nerf_forward_pass(
     pos_encoder: str = "freq",       # "freq" | "hashgrid" | "kplanes"
     enc_cfg=None,                    # HashGridConfig | KPlanesConfig
     scene_contraction: bool = False,
+    ipe: bool = False,               # mip-NeRF integrated positional encoding
+    radii: jnp.ndarray | None = None,   # (B,) or (B,1) pixel-cone radii
 ):
     """Returns (composite_rgb (B,3), weights (B,N), acc (B,1), depth (B,1))."""
     B, N = z_vals.shape
@@ -62,7 +64,27 @@ def nerf_forward_pass(
         z_metric = z_vals * ray_norms.reshape(B, 1)
     pts = rays_o[:, None, :] + rays_d_unit[:, None, :] * z_metric[..., None]  # (B,N,3)
 
-    if scene_contraction:
+    ipe_gaussian = None
+    if ipe:
+        # mip-NeRF: each sample becomes a conical-frustum Gaussian over its
+        # integration interval (core/encoding.py:z_to_intervals) and the
+        # positional encoding becomes its expectation — the encoder is
+        # scale-aware (anti-aliased). freq encoder only; the trainer gates.
+        assert pos_encoder == "freq", "IPE applies to the freq encoder only"
+        assert radii is not None, "IPE needs per-ray pixel-cone radii"
+        from nerf_sandbox_tpu.core.encoding import (
+            conical_frustum_moments, contract_gaussian_diag,
+            lift_gaussian_diag, z_to_intervals)
+        lower, upper = z_to_intervals(z_metric)
+        t_mean, t_var, r_var = conical_frustum_moments(
+            lower, upper, radii.reshape(B, 1))
+        mean, var = lift_gaussian_diag(rays_d_unit, t_mean, t_var, r_var,
+                                       rays_o)
+        if scene_contraction:
+            # linearized contraction of the Gaussian (mip-NeRF 360 eq. 8)
+            mean, var = contract_gaussian_diag(mean, var)
+        ipe_gaussian = (mean, var)
+    elif scene_contraction:
         # mip-NeRF 360 contraction: encode in the radius-2 contracted ball
         # (z/depth integration stays metric — only the ENCODER sees the
         # warped coordinates). Grid encoders must cover [-2,2]^3
@@ -79,7 +101,14 @@ def nerf_forward_pass(
 
     # Encode in fp32 (sin/cos of large 2^k x args need fp32 mantissa), then
     # run the MLP in compute_dtype (bf16 on TPU = the AMP-equivalent mode).
-    if pos_encoder == "hashgrid":
+    if ipe_gaussian is not None:
+        from nerf_sandbox_tpu.core.encoding import (
+            integrated_positional_encoding)
+        mean, var = ipe_gaussian
+        enc_pos = integrated_positional_encoding(
+            mean.reshape(-1, 3), var.reshape(-1, 3), pos_bands,
+            include_input=pos_include_input)
+    elif pos_encoder == "hashgrid":
         from nerf_sandbox_tpu.models.hashgrid import hash_encode
         enc_pos = hash_encode(params["pos_grid"], pts.reshape(-1, 3), enc_cfg)
     elif pos_encoder == "kplanes":

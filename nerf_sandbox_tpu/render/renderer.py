@@ -82,6 +82,9 @@ class EvalHyper(NamedTuple):
     scene_contraction: bool = False
     # disparity-linear coarse/proposal sample spacing (must match training)
     lindisp: bool = False
+    # mip-NeRF integrated positional encoding (must match training; freq
+    # encoder only; XLA eval path — the fused kernel has no IPE branch)
+    ipe: bool = False
 
 
 def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
@@ -149,21 +152,24 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
 
     @jax.jit
     def render_tile(params_c, params_f, rays_o, rays_d_unit, ray_norms,
-                    viewdirs, key):
+                    viewdirs, key, radii=None):
         from nerf_sandbox_tpu.parallel.dist import replicate_outputs_constraint
         out = _render_tile_core(params_c, params_f, rays_o, rays_d_unit,
-                                ray_norms, viewdirs, key)
+                                ray_norms, viewdirs, key, radii)
         # multi-process: the host (every process) reads these into PNGs, so
         # they must be fully addressable — one all-gather, no-op otherwise
         return replicate_outputs_constraint(plan, out)
 
     def _render_tile_core(params_c, params_f, rays_o, rays_d_unit, ray_norms,
-                          viewdirs, key):
+                          viewdirs, key, radii=None):
         T = rays_o.shape[0]
         (rays_o, rays_d_unit, ray_norms, viewdirs) = shard_batch_constraint(
             plan, (rays_o, rays_d_unit, ray_norms, viewdirs))
+        if hyper.ipe:
+            assert radii is not None, "EvalHyper.ipe needs per-ray radii"
+            (radii,) = shard_batch_constraint(plan, (radii,))
 
-        def forward_rays(params, ro, rd, rn, vd, z):
+        def forward_rays(params, ro, rd, rn, vd, z, rad=None):
             if hyper.use_pallas:
                 return fused_fwd(params, ro, rd, rn, vd, z)
             return nerf_forward_pass(
@@ -177,11 +183,12 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
                 infinite_last_bin=hyper.infinite_last_bin,
                 compute_dtype=jnp.dtype(hyper.compute_dtype),
                 pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg,
-                scene_contraction=hyper.scene_contraction)
+                scene_contraction=hyper.scene_contraction,
+                ipe=hyper.ipe, radii=rad)
 
         def forward(params, z):
             return forward_rays(params, rays_o, rays_d_unit, ray_norms,
-                                viewdirs, z)
+                                viewdirs, z, radii)
 
         if hyper.sampling_mode == "occupancy":
             from nerf_sandbox_tpu.models.occupancy import ray_probe_weights
@@ -211,7 +218,8 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
                              axis=-1)
                 comp_s, _, acc_s, depth_s = forward_rays(
                     params_f, rays_o[top], rays_d_unit[top],
-                    ray_norms[top], viewdirs[top], z)
+                    ray_norms[top], viewdirs[top], z,
+                    radii[top] if hyper.ipe else None)
                 bg = 1.0 if hyper.white_bkgd else 0.0
                 comp = jnp.full((T, 3), bg, comp_s.dtype).at[top].set(comp_s)
                 acc = jnp.zeros((T, 1), acc_s.dtype).at[top].set(acc_s)
@@ -241,7 +249,8 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
                 sigma_activation=hyper.sigma_activation,
                 infinite_last_bin=hyper.infinite_last_bin,
                 compute_dtype=jnp.dtype(hyper.compute_dtype),
-                scene_contraction=hyper.scene_contraction)
+                scene_contraction=hyper.scene_contraction,
+                ipe=hyper.ipe, radii=radii)
             z = jnp.sort(resample_midpoints(zp, w_p, hyper.nf_eval,
                                             deterministic=True), axis=-1)
             comp, _, acc, depth = forward(params_f, z)
@@ -277,8 +286,9 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
             zf = resample_midpoints(z_s, w_s, hyper.nf_eval,
                                     deterministic=True)
             z_all = merge_z_samples(z_s, zf)
-            comp_s, _, acc_s, depth_s = forward_rays(params_f, ro_s, rd_s,
-                                                     rn_s, vd_s, z_all)
+            comp_s, _, acc_s, depth_s = forward_rays(
+                params_f, ro_s, rd_s, rn_s, vd_s, z_all,
+                radii[top] if hyper.ipe else None)
             comp_f = comp_c.at[top].set(comp_s)
             acc_f = acc_c.at[top].set(acc_s)
             depth_f = depth_c.at[top].set(depth_s)
@@ -295,7 +305,7 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
 
 def render_rays_chunked(render_tile, params_c, params_f, rays_o, rays_d_unit,
                         ray_norms, viewdirs, *, eval_chunk: int = 16384,
-                        key=None) -> dict:
+                        key=None, radii=None) -> dict:
     """Render an arbitrary number of rays by padding into fixed tiles."""
     n = rays_o.shape[0]
     tile = min(int(eval_chunk), n) if eval_chunk else n
@@ -314,13 +324,15 @@ def render_rays_chunked(render_tile, params_c, params_f, rays_o, rays_d_unit,
     ro, rd = pad(rays_o), pad(rays_d_unit)
     rn = pad(ray_norms.reshape(n, 1))
     vd = pad(viewdirs)
+    ra = pad(radii.reshape(n, 1)) if radii is not None else None
 
     outs = {"rgb": [], "acc": [], "depth": []}
     for i in range(0, n + n_pad, tile):
         key, sub = jax.random.split(key)
-        rgb, acc, depth = render_tile(params_c, params_f, ro[i:i + tile],
-                                      rd[i:i + tile], rn[i:i + tile],
-                                      vd[i:i + tile], sub)
+        rgb, acc, depth = render_tile(
+            params_c, params_f, ro[i:i + tile], rd[i:i + tile],
+            rn[i:i + tile], vd[i:i + tile], sub,
+            ra[i:i + tile] if ra is not None else None)
         outs["rgb"].append(rgb)
         outs["acc"].append(acc)
         outs["depth"].append(depth)
@@ -344,10 +356,16 @@ def render_pose(render_tile, params_c, params_f, c2w, H: int, W: int, K, *,
     rays = get_camera_rays_grid(K, c2w, image_h=H, image_w=W,
                                 convention=convention, pixel_center=True,
                                 as_ndc=use_ndc, near_plane=float(near_plane))
+    # Per-ray pixel-cone radii for IPE renderers (None-safe: the tile
+    # renderer ignores them unless EvalHyper.ipe; IPE is non-NDC only).
+    radii = None
+    if not use_ndc:
+        from nerf_sandbox_tpu.core.encoding import pixel_cone_radii
+        radii = pixel_cone_radii(K[0, 0], rays.d_world_norm[..., 0])
     out = render_rays_chunked(render_tile, params_c, params_f,
                               rays.o_march, rays.d_march_unit,
                               rays.d_march_norm, rays.d_world_unit,
-                              eval_chunk=eval_chunk, key=key)
+                              eval_chunk=eval_chunk, key=key, radii=radii)
     return {
         "rgb": np.asarray(out["rgb"]).reshape(H, W, 3),
         "acc": np.asarray(out["acc"]).reshape(H, W, 1),

@@ -79,6 +79,75 @@ def compute_psnr(pred: np.ndarray, gt: np.ndarray,
     return float(-10.0 * np.log10(max(mse, 1e-10)))
 
 
+def _gaussian_kernel1d(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+def _corr1d_valid(x: np.ndarray, k: np.ndarray, axis: int) -> np.ndarray:
+    """1-D correlation with 'valid' boundary along ``axis`` (shifted adds)."""
+    S = len(k)
+    n = x.shape[axis]
+    sl = [slice(None)] * x.ndim
+    out = None
+    for i in range(S):
+        sl[axis] = slice(i, n - S + 1 + i)
+        t = k[i] * x[tuple(sl)]
+        out = t if out is None else out + t
+    return out
+
+
+def _filter2_valid(img: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Separable 2-D correlation with 'valid' boundary over (H,W,C)."""
+    return _corr1d_valid(_corr1d_valid(img, k, 0), k, 1)
+
+
+def compute_ssim(pred: np.ndarray, gt: np.ndarray,
+                 mask: Optional[np.ndarray] = None) -> float:
+    """SSIM over (H,W,3) images in [0,1] (Wang et al. 2004), the exact
+    formulation the NeRF literature reports (11x11 Gaussian window,
+    sigma=1.5, K1=0.01, K2=0.03, 'valid' boundary, channel mean) — matches
+    the mip-NeRF/jaxnerf evaluation metric. Beyond-reference: the torch
+    reference reports only PSNR (validation_renderer.py:171-196).
+
+    ``mask``: optional (H,W) or (H,W,1) validity map; the SSIM map is
+    averaged under the mask cropped to the 'valid' region.
+    """
+    pred = np.clip(pred, 0.0, 1.0).astype(np.float64)
+    gt = np.clip(gt, 0.0, 1.0).astype(np.float64)
+    if pred.ndim == 2:
+        pred = pred[..., None]
+    if gt.ndim == 2:
+        gt = gt[..., None]
+    size, sigma = 11, 1.5
+    if min(pred.shape[0], pred.shape[1]) < size:   # tiny test frames
+        size = max(3, (min(pred.shape[0], pred.shape[1]) // 2) * 2 - 1)
+    k = _gaussian_kernel1d(size, sigma)
+
+    def filt(x):
+        return _filter2_valid(x, k)
+
+    mu_p, mu_g = filt(pred), filt(gt)
+    mu_pp, mu_gg, mu_pg = mu_p * mu_p, mu_g * mu_g, mu_p * mu_g
+    s_pp = filt(pred * pred) - mu_pp
+    s_gg = filt(gt * gt) - mu_gg
+    s_pg = filt(pred * gt) - mu_pg
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu_pg + c1) * (2 * s_pg + c2)) / (
+        (mu_pp + mu_gg + c1) * (s_pp + s_gg + c2))
+    if mask is not None:
+        m = mask.astype(np.float64)
+        if m.ndim == 3:
+            m = m[..., 0]
+        h = (size - 1) // 2
+        m = m[h:m.shape[0] - h, h:m.shape[1] - h]
+        m = m[..., None]
+        return float((ssim_map * m).sum() / max(m.sum() * ssim_map.shape[-1],
+                                                1e-8))
+    return float(ssim_map.mean())
+
+
 def _resize_bilinear(img: np.ndarray, H: int, W: int) -> np.ndarray:
     if img.shape[0] == H and img.shape[1] == W:
         return img
@@ -213,6 +282,7 @@ class ValidationRenderer:
         psnrs: List[float] = []
         psnrs_masked: List[Optional[float]] = []
         psnrs_unmasked: List[float] = []
+        ssims: List[float] = []
         if isinstance(use_mask, bool):
             mask_primary = use_mask
         else:  # "auto" = not composite_on_load
@@ -238,6 +308,10 @@ class ValidationRenderer:
             psnrs.append(psnr)
             psnrs_masked.append(psnr_m)
             psnrs_unmasked.append(psnr_um)
+            ssim = compute_ssim(res["rgb"], gt,
+                                mask if (mask_primary and mask is not None)
+                                else None)
+            ssims.append(ssim)
 
             if log_to_tb and self.tb is not None:
                 self.tb.log_validation_images(
@@ -252,14 +326,18 @@ class ValidationRenderer:
                 if psnr_m is not None:
                     self.tb.add_scalar(f"val/psnr_masked_frame_{fid}",
                                        psnr_m, int(step))
+                self.tb.add_scalar(f"val/ssim_frame_{fid}", ssim, int(step))
                 self.tb.flush()
 
         metrics = {"psnr_per_frame": psnrs,
                    "psnr_masked_per_frame": psnrs_masked,
                    "psnr_unmasked_per_frame": psnrs_unmasked,
-                   "psnr_mean": (sum(psnrs) / len(psnrs)) if psnrs else None}
+                   "psnr_mean": (sum(psnrs) / len(psnrs)) if psnrs else None,
+                   "ssim_per_frame": ssims,
+                   "ssim_mean": (sum(ssims) / len(ssims)) if ssims else None}
         if log_to_tb and self.tb is not None and metrics["psnr_mean"] is not None:
             self.tb.add_scalar("val/psnr_mean", metrics["psnr_mean"], int(step))
+            self.tb.add_scalar("val/ssim_mean", metrics["ssim_mean"], int(step))
         return paths, metrics
 
     def render_selected_frames(self, params_c, params_f, frame_indices=None,

@@ -103,6 +103,12 @@ class TrainHyper(NamedTuple):
     # §3.2 smoothness prior; models/kplanes.py:kplanes_tv). Applies to
     # every model in the step that carries tables. 0 = off.
     kp_tv_weight: float = 0.0
+    # mip-NeRF integrated positional encoding: every sample is a conical-
+    # frustum Gaussian over its interval and the freq encoding becomes its
+    # expectation (anti-aliased / scale-aware). freq encoder, non-NDC only
+    # (the trainer gates). Applies to every freq-encoded forward in the
+    # step, including the proposal MLP (mip-NeRF 360 does the same).
+    ipe: bool = False
 
 
 class TrainState(NamedTuple):
@@ -278,7 +284,8 @@ def _occupancy_loss(params_f, occ_grid, batch, key, hyper: TrainHyper,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
         pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg,
-        scene_contraction=hyper.scene_contraction)
+        scene_contraction=hyper.scene_contraction,
+        ipe=hyper.ipe, radii=batch.get("radii"))
 
     target = jnp.clip(jnp.nan_to_num(batch["rgb"]), 0.0, 1.0)
     loss_f = jnp.mean((comp_f - target) ** 2)
@@ -328,7 +335,8 @@ def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
         sigma_activation=hyper.sigma_activation,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
-        scene_contraction=hyper.scene_contraction)
+        scene_contraction=hyper.scene_contraction,
+        ipe=hyper.ipe, radii=batch.get("radii"))
 
     zf = resample_midpoints(zp, w_p, hyper.nf, key=k_pdf,
                             deterministic=hyper.det_fine, power=anneal,
@@ -349,7 +357,8 @@ def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
         pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg,
-        scene_contraction=hyper.scene_contraction)
+        scene_contraction=hyper.scene_contraction,
+        ipe=hyper.ipe, radii=batch.get("radii"))
 
     target = jnp.clip(jnp.nan_to_num(batch["rgb"]), 0.0, 1.0)
     mse_f = jnp.mean((comp_f - target) ** 2)
@@ -389,7 +398,8 @@ def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
         pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg,
-        scene_contraction=hyper.scene_contraction)
+        scene_contraction=hyper.scene_contraction,
+        ipe=hyper.ipe, radii=batch.get("radii"))
 
     comp_c, w_c, _, _ = fwd(params_c, hyper.model, batch["rays_o_marching"],
                             batch["rays_d_marching_unit"], zc,

@@ -231,6 +231,18 @@ class Trainer:
             raise ValueError(
                 f"--lindisp needs near > 0 (got near={self.samp_near}); "
                 "disparity spacing divides by z")
+        # mip-NeRF integrated positional encoding (anti-aliased freq
+        # encoder): per-sample conical-frustum Gaussians from per-ray
+        # pixel-cone radii (core/encoding.py). Freq encoder, non-NDC only.
+        self.ipe = bool(getattr(cfg, "ipe", False))
+        if self.ipe and self.use_ndc:
+            print("[cfg] note: --ipe is unsupported under --use_ndc (pixel-"
+                  "cone radii are undefined after the NDC warp); disabled")
+            self.ipe = False
+        if self.ipe and self.pos_encoder != "freq":
+            print(f"[cfg] note: --ipe applies to the freq (positional) "
+                  f"encoder only; disabled for --encoder {self.pos_encoder}")
+            self.ipe = False
         self.enc_cfg = None
         if self.pos_encoder == "hashgrid":
             from nerf_sandbox_tpu.models.hashgrid import HashGridConfig
@@ -418,7 +430,7 @@ class Trainer:
                                     or 0.0),
             distortion_anneal_steps=int(
                 getattr(cfg, "distortion_anneal_steps", 0) or 0),
-            lindisp=self.lindisp,
+            lindisp=self.lindisp, ipe=self.ipe,
             kp_tv_weight=(float(getattr(cfg, "kp_tv_weight", 0.0) or 0.0)
                           if self.pos_encoder == "kplanes" else 0.0))
         if (float(getattr(cfg, "kp_tv_weight", 0.0) or 0.0) > 0
@@ -541,7 +553,7 @@ class Trainer:
             prop_model=self.prop_model,
             n_prop_eval=(n_prop or 64),
             scene_contraction=self.scene_contraction,
-            lindisp=self.lindisp)
+            lindisp=self.lindisp, ipe=self.ipe)
         self.render_tile = make_tile_renderer(
             self.eval_hyper, self.pos_bands, self.dir_bands, plan=self.plan)
 
@@ -705,6 +717,8 @@ class Trainer:
                     # the kernel encodes raw marching points — it has no
                     # contraction warp, so contracted scenes use XLA eval
                     and not self.scene_contraction
+                    # ... and no IPE branch (Gaussian encode is XLA-only)
+                    and not self.ipe
                     # the kernel's matmuls are bf16 by design; an explicit
                     # --compute_dtype float32 must get true-fp32 XLA eval
                     and str(self.cfg.compute_dtype) == "bfloat16")
@@ -859,8 +873,10 @@ class Trainer:
             res_scale=float(self.cfg.val_res_scale),
             log_to_tb=bool(self.cfg.use_tb))
         if metrics.get("psnr_mean") is not None:
-            print(f"[VAL] step={step} mean PSNR={metrics['psnr_mean']:.2f} dB "
-                  f"over {len(self.val_frame_indices)} frame(s)")
+            ssim = metrics.get("ssim_mean")
+            ssim_txt = f" SSIM={ssim:.4f}" if ssim is not None else ""
+            print(f"[VAL] step={step} mean PSNR={metrics['psnr_mean']:.2f} dB"
+                  f"{ssim_txt} over {len(self.val_frame_indices)} frame(s)")
         if self.cfg.progress_video_during_training:
             start, count = self.valr.render_progress_block(pc, pf)
             if count > 0:

@@ -1,0 +1,262 @@
+"""mip-NeRF integrated positional encoding (IPE): math + e2e contracts.
+
+Beyond-reference capability (the torch reference has only the point-sample
+positional encoder, encoders.py:6-106). The math targets are the published
+mip-NeRF formulas (Barron et al. 2021: conical-frustum moments eq. 7,
+IPE eq. 14) verified here against Monte-Carlo oracles, plus the framework
+contracts: IPE == PE at zero footprint, train step + eval renderer run end
+to end, and non-IPE paths are bit-unchanged by the radii plumbing.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_sandbox_tpu.core.encoding import (
+    conical_frustum_moments, contract_gaussian_diag,
+    integrated_positional_encoding, lift_gaussian_diag, make_frequency_bands,
+    pixel_cone_radii, positional_encoding, scene_contract, vanilla_encoders,
+    z_to_intervals)
+
+
+def test_ipe_reduces_to_pe_at_zero_variance():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-2, 2, (32, 3)), jnp.float32)
+    bands = jnp.asarray(make_frequency_bands(10))
+    pe = positional_encoding(x, bands, include_input=True)
+    ipe = integrated_positional_encoding(x, jnp.zeros_like(x), bands,
+                                         include_input=True)
+    np.testing.assert_array_equal(np.asarray(ipe), np.asarray(pe))
+    # and without the input passthrough
+    pe = positional_encoding(x, bands, include_input=False)
+    ipe = integrated_positional_encoding(x, jnp.zeros_like(x), bands,
+                                         include_input=False)
+    np.testing.assert_array_equal(np.asarray(ipe), np.asarray(pe))
+
+
+def test_ipe_matches_monte_carlo_expectation():
+    """E[gamma(x)] under a diagonal Gaussian == the closed form (eq. 14)."""
+    rng = np.random.default_rng(1)
+    mean = jnp.asarray(rng.uniform(-1, 1, (4, 3)), jnp.float32)
+    var = jnp.asarray(rng.uniform(0.0, 0.3, (4, 3)) ** 2, jnp.float32)
+    bands = jnp.asarray(make_frequency_bands(4))
+    n_mc = 200_000
+    samples = (np.asarray(mean)[:, None, :]
+               + rng.standard_normal((4, n_mc, 3))
+               * np.sqrt(np.asarray(var))[:, None, :])
+    mc = positional_encoding(jnp.asarray(samples, jnp.float32), bands,
+                             include_input=True).mean(axis=1)
+    got = integrated_positional_encoding(mean, var, bands, include_input=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(mc),
+                               atol=5e-3)
+
+
+def test_ipe_attenuates_high_frequencies():
+    """Large footprints suppress high-frequency features toward zero while
+    the mean passthrough survives — the anti-aliasing mechanism."""
+    x = jnp.asarray([[0.37, -0.8, 1.2]], jnp.float32)
+    bands = jnp.asarray(make_frequency_bands(10))
+    big = integrated_positional_encoding(x, jnp.full((1, 3), 30.0), bands,
+                                         include_input=True)
+    assert float(jnp.max(jnp.abs(big[:, 3:]))) < 1e-3   # all sin/cos gone
+    np.testing.assert_allclose(np.asarray(big[:, :3]), np.asarray(x))
+    # moderate footprint: attenuation is monotone in frequency — band k's
+    # peak feature magnitude bounds band k+1's (sin block layout: F bands
+    # x 3 dims each)
+    mod = integrated_positional_encoding(x, jnp.full((1, 3), 0.1), bands,
+                                         include_input=False)
+    sin_blocks = np.asarray(mod)[0, :30].reshape(10, 3)
+    env = np.exp(-0.5 * 0.1 * np.asarray(bands) ** 2)
+    assert np.all(np.abs(sin_blocks).max(axis=1) <= env + 1e-6)
+
+
+def test_conical_frustum_moments_match_monte_carlo():
+    """(t_mean, t_var, r_var) vs uniform sampling of the frustum volume.
+
+    A point uniform in the frustum [t0, t1] of a cone r(t) = radii*t has
+    along-axis density ∝ t^2 dt; perpendicular offsets are uniform in the
+    radius-r(t) disc (per-axis variance r^2/4).
+    """
+    rng = np.random.default_rng(2)
+    t0, t1, radii = 1.7, 2.3, 0.05
+    n = 2_000_000
+    # inverse-CDF sample of p(t) ∝ t^2 on [t0, t1]
+    u = rng.uniform(0, 1, n)
+    t = (t0 ** 3 + u * (t1 ** 3 - t0 ** 3)) ** (1.0 / 3.0)
+    # uniform point in the disc of radius radii*t
+    ang = rng.uniform(0, 2 * np.pi, n)
+    rad = np.sqrt(rng.uniform(0, 1, n)) * radii * t
+    x_perp = rad * np.cos(ang)
+
+    t_mean, t_var, r_var = conical_frustum_moments(
+        jnp.float32(t0), jnp.float32(t1), jnp.float32(radii))
+    assert float(t_mean) == pytest.approx(t.mean(), rel=1e-3)
+    assert float(t_var) == pytest.approx(t.var(), rel=2e-2)
+    assert float(r_var) == pytest.approx(x_perp.var(), rel=2e-2)
+
+
+def test_lift_gaussian_diag_geometry():
+    """Axial variance lands on the direction axis, radial on the others."""
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    o = jnp.asarray([[0.5, 0.0, 0.0]])
+    t_mean = jnp.asarray([[2.0]])
+    t_var = jnp.asarray([[0.04]])
+    r_var = jnp.asarray([[0.01]])
+    mean, var = lift_gaussian_diag(d, t_mean, t_var, r_var, o)
+    np.testing.assert_allclose(np.asarray(mean[0, 0]), [2.5, 0, 0])
+    np.testing.assert_allclose(np.asarray(var[0, 0]), [0.04, 0.01, 0.01],
+                               rtol=1e-6)
+
+
+def test_z_to_intervals_partition():
+    z = jnp.asarray([[1.0, 2.0, 4.0, 5.0]])
+    lo, hi = z_to_intervals(z)
+    # interior edges are shared midpoints; ends extend symmetrically
+    np.testing.assert_allclose(np.asarray(lo[0]), [0.5, 1.5, 3.0, 4.5])
+    np.testing.assert_allclose(np.asarray(hi[0]), [1.5, 3.0, 4.5, 5.5])
+    np.testing.assert_array_equal(np.asarray(lo[..., 1:]),
+                                  np.asarray(hi[..., :-1]))
+
+
+def test_contract_gaussian_identity_inside_unit_ball():
+    rng = np.random.default_rng(3)
+    mean = jnp.asarray(rng.uniform(-0.5, 0.5, (16, 3)), jnp.float32)
+    var = jnp.asarray(rng.uniform(0.001, 0.01, (16, 3)), jnp.float32)
+    m2, v2 = contract_gaussian_diag(mean, var)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(mean), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(var), rtol=1e-5)
+
+
+def test_contract_gaussian_outside_shrinks_variance():
+    """Far content compresses into the [1,2) shell: the mean contracts and
+    the variance shrinks (|J| < 1 out there), staying positive."""
+    mean = jnp.asarray([[0.0, 0.0, 30.0], [5.0, -5.0, 5.0]], jnp.float32)
+    var = jnp.full((2, 3), 0.25, jnp.float32)
+    m2, v2 = contract_gaussian_diag(mean, var)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(scene_contract(mean)),
+                               rtol=1e-5)
+    assert np.all(np.asarray(v2) > 0)
+    assert np.all(np.asarray(v2) < np.asarray(var))
+
+
+def test_pixel_cone_radii():
+    # fx = 100, unit-norm dirs: radii = 2/sqrt(12)/100
+    r = pixel_cone_radii(100.0, jnp.asarray([1.0, 2.0]))
+    np.testing.assert_allclose(np.asarray(r),
+                               [2 / np.sqrt(12) / 100,
+                                2 / np.sqrt(12) / 200], rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# framework integration
+# ---------------------------------------------------------------------------
+
+def _scene(n=3, H=16, W=16):
+    from nerf_sandbox_tpu.data.scene import Frame, Scene
+    rng = np.random.RandomState(0)
+    K = np.array([[12.0, 0, W / 2], [0, 12.0, H / 2], [0, 0, 1]], np.float32)
+    frames = []
+    for i in range(n):
+        img = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+        c2w = np.eye(4, dtype=np.float32)
+        th = i * 0.4
+        c2w[:3, :3] = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                                [-np.sin(th), 0, np.cos(th)]], np.float32)
+        c2w[:3, 3] = c2w[:3, :3] @ np.array([0, 0, 4.0], np.float32)
+        frames.append(Frame(image=img, K=K, c2w=c2w))
+    return Scene(frames=frames, white_bkgd=True)
+
+
+@pytest.mark.parametrize("mode", ["hierarchical", "proposal"])
+def test_ipe_train_step_runs_and_learns(mode):
+    from nerf_sandbox_tpu.data.sampler import RayBatchSpec, SceneArrays
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+    from nerf_sandbox_tpu.train.step import (
+        TrainHyper, build_train_step, init_train_state, make_optimizer)
+    arrs = SceneArrays.from_scene(_scene())
+    model = NeRFConfig(enc_pos_dim=63, enc_dir_dim=27, n_layers=2,
+                       hidden_dim=64, skip_pos=1)
+    kw = {}
+    if mode == "proposal":
+        kw = dict(prop_model=NeRFConfig(63, 27, n_layers=2, hidden_dim=32,
+                                        skip_pos=1), n_prop=16)
+    hyper = TrainHyper(model=model, nc=16, nf=16, samp_near=2.0, samp_far=6.0,
+                       sampling_mode=mode, ipe=True, **kw)
+    spec = RayBatchSpec(rays_per_batch=64, image_h=16, image_w=16)
+    tx = make_optimizer(5e-4, "cosine", {"T_max": 100, "eta_min": 5e-6})
+    state = init_train_state(jax.random.PRNGKey(0), hyper, tx,
+                             near=2.0, far=6.0)
+    pos_b, dir_b = vanilla_encoders()
+    step_fn = build_train_step(hyper, spec, tx, jnp.asarray(pos_b),
+                               jnp.asarray(dir_b))
+    losses = []
+    for _ in range(30):
+        state, m = step_fn(state, arrs)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_ipe_eval_renderer_and_radii_noop():
+    """EvalHyper.ipe renders finite images; passing radii to a NON-ipe
+    renderer is bit-identical to not passing them (the plumbing is inert)."""
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig, init_nerf_params
+    from nerf_sandbox_tpu.render.renderer import (
+        EvalHyper, make_tile_renderer, render_pose)
+    model = NeRFConfig(63, 27, n_layers=2, hidden_dim=32, skip_pos=1)
+    pos_b, dir_b = vanilla_encoders()
+    pc = init_nerf_params(jax.random.PRNGKey(0), model)
+    pf = init_nerf_params(jax.random.PRNGKey(1), model)
+    K = np.array([[12.0, 0, 8], [0, 12.0, 8], [0, 0, 1]], np.float32)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 3] = [0, 0, 4.0]
+
+    base = dict(model=model, nc_eval=8, nf_eval=8, samp_near=2.0,
+                samp_far=6.0)
+    tile_ipe = make_tile_renderer(EvalHyper(**base, ipe=True),
+                                  jnp.asarray(pos_b), jnp.asarray(dir_b))
+    out = render_pose(tile_ipe, pc, pf, c2w, 16, 16, K, eval_chunk=128)
+    assert np.isfinite(out["rgb"]).all() and np.isfinite(out["depth"]).all()
+
+    tile = make_tile_renderer(EvalHyper(**base), jnp.asarray(pos_b),
+                              jnp.asarray(dir_b))
+    out_with = render_pose(tile, pc, pf, c2w, 16, 16, K, eval_chunk=128)
+    # same tile called without radii (direct, bypassing render_pose)
+    from nerf_sandbox_tpu.core.rays import get_camera_rays_grid
+    from nerf_sandbox_tpu.render.renderer import render_rays_chunked
+    rays = get_camera_rays_grid(jnp.asarray(K), jnp.asarray(c2w), image_h=16,
+                                image_w=16, pixel_center=True)
+    out_none = render_rays_chunked(tile, pc, pf, rays.o_march,
+                                   rays.d_march_unit, rays.d_march_norm,
+                                   rays.d_world_unit, eval_chunk=128)
+    np.testing.assert_array_equal(out_with["rgb"].reshape(-1, 3),
+                                  np.asarray(out_none["rgb"]))
+
+    # IPE changes the render (the encoder is genuinely different)
+    assert float(np.abs(out["rgb"] - out_with["rgb"]).max()) > 1e-6
+
+
+def test_ipe_train_step_contracted_runs():
+    """IPE + scene contraction (linearized Gaussian warp) composes."""
+    from nerf_sandbox_tpu.data.sampler import RayBatchSpec, SceneArrays
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig
+    from nerf_sandbox_tpu.train.step import (
+        TrainHyper, build_train_step, init_train_state, make_optimizer)
+    arrs = SceneArrays.from_scene(_scene())
+    model = NeRFConfig(enc_pos_dim=63, enc_dir_dim=27, n_layers=2,
+                       hidden_dim=64, skip_pos=1)
+    hyper = TrainHyper(model=model, nc=16, nf=16, samp_near=0.5, samp_far=30.0,
+                       ipe=True, scene_contraction=True, lindisp=True,
+                       distortion_weight=0.01)
+    spec = RayBatchSpec(rays_per_batch=64, image_h=16, image_w=16)
+    tx = make_optimizer(5e-4, "cosine", {"T_max": 100, "eta_min": 5e-6})
+    state = init_train_state(jax.random.PRNGKey(0), hyper, tx,
+                             near=0.5, far=30.0)
+    pos_b, dir_b = vanilla_encoders()
+    step_fn = build_train_step(hyper, spec, tx, jnp.asarray(pos_b),
+                               jnp.asarray(dir_b))
+    for _ in range(5):
+        state, m = step_fn(state, arrs)
+    assert np.isfinite(float(m["loss"]))

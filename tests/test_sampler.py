@@ -1,5 +1,6 @@
 """Tests for the pure-JAX ray-batch sampler (role parity with the reference's
-tests/unit/test_ray_sampler.py, updated to the 7-key batch schema)."""
+tests/unit/test_ray_sampler.py, updated to the 7-key batch schema +
+per-ray IPE radii)."""
 
 import jax
 import jax.numpy as jnp
@@ -10,7 +11,8 @@ from nerf_sandbox_tpu.data.sampler import RayBatchSpec, SceneArrays, sample_ray_
 from nerf_sandbox_tpu.data.scene import Frame, Scene
 
 BATCH_KEYS = {"rgb", "rays_o_world", "rays_d_world_unit", "rays_d_world_norm",
-              "rays_o_marching", "rays_d_marching_unit", "rays_d_marching_norm"}
+              "rays_o_marching", "rays_d_marching_unit", "rays_d_marching_norm",
+              "radii"}
 
 
 def _tiny_scene(n=3, H=8, W=8, rgba=False):
@@ -42,6 +44,10 @@ def test_batch_schema_and_shapes():
     assert batch["rgb"].shape == (B, 3)
     assert batch["rays_o_world"].shape == (B, 3)
     assert batch["rays_d_world_norm"].shape == (B, 1)
+    assert batch["radii"].shape == (B,)
+    # radii = (2/sqrt(12))/fx / ||d||: positive, pixel-scale
+    r = np.asarray(batch["radii"]) * np.asarray(batch["rays_d_world_norm"])[:, 0]
+    np.testing.assert_allclose(r, 2 / np.sqrt(12) / 10.0, rtol=1e-5)
     n = jnp.linalg.norm(batch["rays_d_world_unit"], axis=-1)
     np.testing.assert_allclose(np.asarray(n), 1.0, atol=1e-5)
 

@@ -12,7 +12,7 @@ from nerf_sandbox_tpu.data.scene import Frame, Scene
 from nerf_sandbox_tpu.models.mlp import NeRFConfig, init_nerf_params
 from nerf_sandbox_tpu.render.renderer import EvalHyper, make_tile_renderer
 from nerf_sandbox_tpu.render.validation import (
-    ValidationRenderer, compute_psnr, snap_hwk)
+    ValidationRenderer, compute_psnr, compute_ssim, snap_hwk)
 
 
 def test_snap_hwk():
@@ -36,6 +36,51 @@ def test_compute_psnr():
     c = a.copy()
     c[2:] = 1.0   # error only outside the mask
     assert compute_psnr(a, c, mask) == pytest.approx(100.0)
+
+
+def _ssim_windows_ref(p, g, size=11, sigma=1.5):
+    """Brute-force SSIM oracle: explicit Gaussian-weighted valid windows."""
+    x = np.arange(size) - (size - 1) / 2
+    k1 = np.exp(-0.5 * (x / sigma) ** 2)
+    k1 /= k1.sum()
+    K = np.outer(k1, k1)
+    H, W, C = p.shape
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    vals = []
+    for i in range(H - size + 1):
+        for j in range(W - size + 1):
+            for c in range(C):
+                wp = p[i:i + size, j:j + size, c]
+                wg = g[i:i + size, j:j + size, c]
+                mp, mg = (K * wp).sum(), (K * wg).sum()
+                vp = (K * wp * wp).sum() - mp * mp
+                vg = (K * wg * wg).sum() - mg * mg
+                cov = (K * wp * wg).sum() - mp * mg
+                vals.append(((2 * mp * mg + c1) * (2 * cov + c2))
+                            / ((mp * mp + mg * mg + c1) * (vp + vg + c2)))
+    return float(np.mean(vals))
+
+
+def test_compute_ssim():
+    rng = np.random.RandomState(3)
+    a = rng.uniform(0, 1, (20, 22, 3))
+    assert compute_ssim(a, a) == pytest.approx(1.0)
+    # matches the explicit windowed oracle
+    b = np.clip(a + rng.normal(0, 0.08, a.shape), 0, 1)
+    assert compute_ssim(a, b) == pytest.approx(_ssim_windows_ref(a, b),
+                                               abs=1e-10)
+    # monotone in degradation
+    c = np.clip(a + rng.normal(0, 0.3, a.shape), 0, 1)
+    assert compute_ssim(a, c) < compute_ssim(a, b) < 1.0
+    # masked: error confined outside the mask scores ~1 under the mask
+    mask = np.zeros((20, 22, 1))
+    mask[:, :11] = 1.0
+    d = a.copy()
+    d[:, 16:] = 0.0   # corruption fully outside every window under the mask
+    # (valid-region crop removes 5 columns each side; masked columns 0..10
+    # crop to 0..5, whose 11-wide windows span columns 0..15 < 16)
+    assert compute_ssim(a, d, mask) == pytest.approx(1.0)
+    assert compute_ssim(a, d) < 0.999
 
 
 def _valr(tmp_path, n_frames=3, rgba=True):
@@ -85,6 +130,9 @@ def test_render_indices_and_psnr(tmp_path):
             / "step_0000007.png").exists()
     assert metrics["psnr_mean"] is not None
     assert len(metrics["psnr_per_frame"]) == 2
+    assert metrics["ssim_mean"] is not None
+    assert len(metrics["ssim_per_frame"]) == 2
+    assert all(-1.0 <= s <= 1.0 for s in metrics["ssim_per_frame"])
 
 
 def test_progress_blocks_and_resume(tmp_path):
