@@ -294,12 +294,27 @@ class Config:
     # encoding becomes its expectation — scale-aware / anti-aliased.
     # freq encoder + non-NDC scenes only (the trainer gates + notes).
     ipe: bool = False
+    # NeRF-W per-frame appearance embeddings (Martin-Brualla et al. 2021,
+    # beyond-reference): a learned (n_train_frames, appearance_dim) code
+    # table whose per-ray row feeds the color head — absorbs per-frame
+    # photometric variation (exposure / white balance / lighting) so the
+    # shared geometry+radiance stays clean. 0 = off.
+    appearance_dim: int = 0
+    # Eval-time code for frames with no learned embedding: "mean" of the
+    # learned table, "zero" (the canonical near-zero init), or an integer
+    # train-frame index whose code to borrow.
+    eval_appearance: str = "mean"
 
     # Encoder family (new — BASELINE config #5 stretch)
     # positional = reference parity; hashgrid = Instant-NGP tables
     # (functional, HBM-gather-bound on TPU — measured in RESULTS.md);
     # kplanes = factorized planes+lines, the TPU-fast family (pure MXU).
     encoder: str = "positional"        # positional | hashgrid | kplanes
+    # View-direction encoder: "freq" = reference gamma (L=dir_num_freqs,
+    # 27 dims); "sh" = real spherical harmonics of degree sh_degree
+    # (Instant-NGP practice; sh_degree^2 dims — smaller and cheaper).
+    dir_enc: str = "freq"
+    sh_degree: int = 4
     hash_levels: int = 16
     hash_features: int = 2
     hash_log2_size: int = 19
@@ -509,10 +524,22 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--ipe", type=str2bool, default=d.ipe,
                    help="mip-NeRF integrated positional encoding (anti-"
                         "aliased freq encoder; non-NDC scenes)")
+    g.add_argument("--appearance_dim", type=int, default=d.appearance_dim,
+                   help="NeRF-W per-frame appearance code width (learned "
+                        "(n_train_frames, dim) table feeding the color "
+                        "head; absorbs per-frame exposure/lighting). 0=off")
+    g.add_argument("--eval_appearance", type=str, default=d.eval_appearance,
+                   help="code for eval renders: 'mean' | 'zero' | integer "
+                        "train-frame index")
 
     g = p.add_argument_group("encoder family")
     g.add_argument("--encoder", choices=["positional", "hashgrid", "kplanes"],
                    default=d.encoder)
+    g.add_argument("--dir_enc", choices=["freq", "sh"], default=d.dir_enc,
+                   help="view-direction encoder: reference freq gamma or "
+                        "real spherical harmonics (sh_degree^2 dims)")
+    g.add_argument("--sh_degree", type=int, default=d.sh_degree,
+                   help="SH degree for --dir_enc sh (1..4; 4 -> 16 dims)")
     g.add_argument("--hash_levels", type=int, default=d.hash_levels)
     g.add_argument("--hash_features", type=int, default=d.hash_features)
     g.add_argument("--hash_log2_size", type=int, default=d.hash_log2_size)

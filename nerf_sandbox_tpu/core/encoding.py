@@ -65,6 +65,55 @@ def positional_encoding(x: jnp.ndarray, freq_bands: jnp.ndarray,
     return enc
 
 
+def sh_encoding(dirs: jnp.ndarray, degree: int = 4) -> jnp.ndarray:
+    """Real spherical-harmonics basis at unit directions → (..., degree²).
+
+    The Instant-NGP/tiny-cuda-nn view-direction encoder (beyond-reference;
+    the torch reference has only the frequency encoder, encoders.py:6-106):
+    degree d emits the d² real SH basis values Y_l^m, l<d — a smooth
+    orthonormal basis on S² that is both smaller (16 vs 27 dims at the
+    vanilla L=4) and cheaper than sin/cos of 2^k·d. Pure polynomial in
+    (x,y,z) — elementwise VPU work that XLA fuses into the surrounding
+    matmuls; the fused Pallas eval kernel consumes it unchanged (enc_dir
+    is precomputed outside the kernel). Tested against Monte-Carlo
+    orthonormality on the sphere.
+    """
+    assert 1 <= degree <= 4, "sh_encoding supports degree 1..4"
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    out = [jnp.full_like(x, 0.28209479177387814)]
+    if degree > 1:
+        out += [-0.48860251190291987 * y,
+                0.48860251190291987 * z,
+                -0.48860251190291987 * x]
+    if degree > 2:
+        xx, yy, zz = x * x, y * y, z * z
+        out += [1.0925484305920792 * x * y,
+                -1.0925484305920792 * y * z,
+                0.94617469575755997 * zz - 0.31539156525251999,
+                -1.0925484305920792 * x * z,
+                0.54627421529603959 * (xx - yy)]
+    if degree > 3:
+        out += [0.59004358992664352 * y * (-3.0 * xx + yy),
+                2.8906114426405538 * x * y * z,
+                0.45704579946446572 * y * (1.0 - 5.0 * zz),
+                0.3731763325901154 * z * (5.0 * zz - 3.0),
+                0.45704579946446572 * x * (1.0 - 5.0 * zz),
+                1.4453057213202769 * z * (xx - yy),
+                0.59004358992664352 * x * (-xx + 3.0 * yy)]
+    return jnp.stack(out, axis=-1)
+
+
+def encode_dirs(vdirs: jnp.ndarray, dir_bands: jnp.ndarray,
+                include_input: bool = True, dir_encoder: str = "freq",
+                sh_degree: int = 4) -> jnp.ndarray:
+    """View-direction encoder switch: reference freq gamma (default) or
+    spherical harmonics. One choke point for every dir encode in the
+    framework (train forward, eval renderer, occupancy probe forward)."""
+    if dir_encoder == "sh":
+        return sh_encoding(vdirs, degree=sh_degree)
+    return positional_encoding(vdirs, dir_bands, include_input=include_input)
+
+
 def vanilla_encoders():
     """(pos_bands, dir_bands) for official NeRF defaults (encoders.py:108-123).
 

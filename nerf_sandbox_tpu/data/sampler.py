@@ -5,9 +5,10 @@ Role parity: ``nerf_sandbox/source/data/samplers.py:22-291``
 (single-frame à la bmild, or mixed-frames), center precrop for the first
 ``precrop_iters`` steps, RGBA→white compositing, and the 7-key batch dict
 {rgb, rays_o_world, rays_d_world_unit, rays_d_world_norm, rays_o_marching,
-rays_d_marching_unit, rays_d_marching_norm} (samplers.py:193-201) — plus a
-beyond-reference 8th key, ``radii`` (per-ray pixel-cone radii for the IPE
-encoder, core/encoding.py:pixel_cone_radii).
+rays_d_marching_unit, rays_d_marching_norm} (samplers.py:193-201) — plus
+two beyond-reference keys: ``radii`` (per-ray pixel-cone radii for the IPE
+encoder, core/encoding.py:pixel_cone_radii) and ``frame_ids`` (per-ray
+source-frame index for NeRF-W appearance-code lookup).
 
 TPU-first redesign: instead of a host-side Python iterator with CPU↔GPU
 pixel gathers and a per-frame fan-out loop (samplers.py:203-282), the whole
@@ -265,4 +266,6 @@ def sample_ray_batch(key: jax.Array, step: jnp.ndarray, scene: SceneArrays,
         "rays_d_marching_unit": rays.d_march_unit,
         "rays_d_marching_norm": rays.d_march_norm,
         "radii": radii,
+        # source-frame index per ray (appearance-embedding lookup)
+        "frame_ids": fids,
     }

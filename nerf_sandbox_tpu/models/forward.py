@@ -54,6 +54,9 @@ def nerf_forward_pass(
     scene_contraction: bool = False,
     ipe: bool = False,               # mip-NeRF integrated positional encoding
     radii: jnp.ndarray | None = None,   # (B,) or (B,1) pixel-cone radii
+    app_emb: jnp.ndarray | None = None,  # (B, app_dim) per-ray appearance codes
+    dir_encoder: str = "freq",       # "freq" | "sh" (spherical harmonics)
+    sh_degree: int = 4,
 ):
     """Returns (composite_rgb (B,3), weights (B,N), acc (B,1), depth (B,1))."""
     B, N = z_vals.shape
@@ -118,16 +121,29 @@ def nerf_forward_pass(
     else:
         enc_pos = positional_encoding(pts.reshape(-1, 3), pos_bands,
                                       include_input=pos_include_input)
-    enc_dir = positional_encoding(vdirs.reshape(-1, 3), dir_bands,
-                                  include_input=dir_include_input)
+    from nerf_sandbox_tpu.core.encoding import encode_dirs
+    enc_dir = encode_dirs(vdirs.reshape(-1, 3), dir_bands,
+                          include_input=dir_include_input,
+                          dir_encoder=dir_encoder, sh_degree=sh_degree)
+
+    app = None
+    if app_emb is not None:
+        # per-ray NeRF-W appearance codes, broadcast per-sample (the whole
+        # ray shares its frame's code). Eval paths never reach here — they
+        # fold a fixed code into the color head (mlp.py:fold_appearance).
+        assert cfg.app_dim and app_emb.shape[-1] == cfg.app_dim
+        app = jnp.broadcast_to(app_emb[:, None, :],
+                               (B, N, cfg.app_dim)).reshape(-1, cfg.app_dim)
 
     if use_pallas:
         from nerf_sandbox_tpu.ops.fused_mlp import fused_nerf_apply
+        assert not cfg.app_dim, \
+            "fused MLP has no appearance branch; fold_appearance first"
         out = fused_nerf_apply(params, cfg, enc_pos, enc_dir)                 # (Q,4)
     else:
         mlp_dtype = None if compute_dtype == jnp.float32 else compute_dtype
         out = nerf_apply(params, cfg, enc_pos, enc_dir,
-                         compute_dtype=mlp_dtype)                             # (Q,4)
+                         compute_dtype=mlp_dtype, app=app)                    # (Q,4)
     rgb = jax.nn.sigmoid(out[..., :3])
     sigma = out[..., 3]
 

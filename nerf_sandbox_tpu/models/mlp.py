@@ -36,6 +36,12 @@ class NeRFConfig(NamedTuple):
     n_layers: int = 8
     hidden_dim: int = 256
     skip_pos: int = 4
+    # NeRF-W-style appearance code width (beyond-reference): >0 widens the
+    # color head input to [feature, enc_dir, app]. The per-frame code table
+    # itself lives in the train state (init_train_state); eval renders fold
+    # a fixed code into the color_fc bias (fold_appearance) so every eval
+    # path — XLA and the fused Pallas kernel — runs the app-free shape.
+    app_dim: int = 0
 
 
 def _kaiming_uniform(key, fan_in: int, shape, gain: float) -> jnp.ndarray:
@@ -98,7 +104,7 @@ def init_nerf_params(
     h = cfg.hidden_dim
     feature_w = _kaiming_uniform(keys[cfg.n_layers], h, (h, h), gain=1.0)
     sigma_w, sigma_b = _torch_linear_default(keys[cfg.n_layers + 1], h, 1)
-    color_fc_in = h + cfg.enc_dir_dim
+    color_fc_in = h + cfg.enc_dir_dim + cfg.app_dim
     color_fc_w = _kaiming_uniform(keys[cfg.n_layers + 2], color_fc_in,
                                   (color_fc_in, h // 2), relu_gain)
     color_out_w, color_out_b = _torch_linear_default(keys[cfg.n_layers + 3], h // 2, 3)
@@ -122,7 +128,8 @@ def init_nerf_params(
 
 
 def nerf_apply(params: Dict[str, Any], cfg: NeRFConfig, enc_pos: jnp.ndarray,
-               enc_dir: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+               enc_dir: jnp.ndarray, compute_dtype=None,
+               app: jnp.ndarray | None = None) -> jnp.ndarray:
     """Forward pass → (Q, 4) raw [r, g, b, sigma] logits (mlps.py:192-278).
 
     ``compute_dtype=jnp.bfloat16`` runs the trunk matmuls and activations in
@@ -150,11 +157,51 @@ def nerf_apply(params: Dict[str, Any], cfg: NeRFConfig, enc_pos: jnp.ndarray,
     feature = lin(h, params["feature"])                                       # (Q,H)
 
     enc_dir_c = enc_dir if ct is None else enc_dir.astype(ct)
-    color_in = jnp.concatenate([feature, enc_dir_c], axis=-1)
+    color_parts = [feature, enc_dir_c]
+    if getattr(cfg, "app_dim", 0):
+        # Callers outside the train step (occupancy density probes, debug
+        # forwards) pass no code — the zero code IS the canonical
+        # appearance (the code table is initialised near zero).
+        if app is None:
+            app = jnp.zeros((enc_dir.shape[0], cfg.app_dim), jnp.float32)
+        color_parts.append(app if ct is None else app.astype(ct))
+    color_in = jnp.concatenate(color_parts, axis=-1)
     color_h = jax.nn.relu(lin(color_in, params["color_fc"]))
     color_raw = lin(color_h, params["color_out"]).astype(jnp.float32)         # (Q,3)
 
     return jnp.concatenate([color_raw, sigma_raw], axis=-1)
+
+
+def init_appearance_table(key: jax.Array, n_frames: int,
+                          app_dim: int) -> jnp.ndarray:
+    """(n_frames, app_dim) per-frame appearance codes (NeRF-W, Martin-Brualla
+    et al. 2021). Near-zero init so the zero code — what eval uses for
+    held-out frames by default — starts as the canonical appearance."""
+    return 0.01 * jax.random.normal(key, (n_frames, app_dim), jnp.float32)
+
+
+def fold_appearance(params: Dict[str, Any], cfg: NeRFConfig,
+                    app_vec: jnp.ndarray):
+    """Fold a FIXED appearance code into the color head → app-free model.
+
+    ``color_fc`` input is ``[feature, enc_dir, app]``; with a constant
+    ``app_vec`` the app rows contribute a constant ``app_vec @ W_app`` which
+    folds into the bias.  The returned (params, cfg) pair has the exact
+    app-free architecture — eval renderers (XLA and the fused Pallas
+    kernel, which has no appearance branch) run it unchanged.
+    """
+    if not cfg.app_dim:
+        return params, cfg
+    split = cfg.hidden_dim + cfg.enc_dir_dim
+    w = params["color_fc"]["w"]                       # (split+app, h//2)
+    app_vec = jnp.asarray(app_vec, jnp.float32).reshape(cfg.app_dim)
+    folded = dict(params)
+    folded["color_fc"] = {
+        "w": w[:split],
+        "b": params["color_fc"]["b"] + app_vec @ w[split:],
+    }
+    folded.pop("app_emb", None)
+    return folded, cfg._replace(app_dim=0)
 
 
 def param_count(params) -> int:

@@ -145,7 +145,8 @@ def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig
                            dir_include_input: bool = True,
                            pos_encoder: str = "freq", enc_cfg=None,
                            compute_dtype=jnp.bfloat16, chunk: int = 65536,
-                           scene_contraction: bool = False):
+                           scene_contraction: bool = False,
+                           dir_encoder: str = "freq", sh_degree: int = 4):
     """→ jitted ``update(grid, params, key) -> grid``.
 
     Queries the model's density at one jittered point per cell and applies
@@ -195,8 +196,11 @@ def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig
                                               include_input=pos_include_input)
             d = jnp.broadcast_to(
                 jnp.array([0.0, 0.0, 1.0], jnp.float32), pts_chunk.shape)
-            enc_dir = positional_encoding(d, dir_bands,
-                                          include_input=dir_include_input)
+            from nerf_sandbox_tpu.core.encoding import encode_dirs
+            enc_dir = encode_dirs(d, dir_bands,
+                                  include_input=dir_include_input,
+                                  dir_encoder=dir_encoder,
+                                  sh_degree=sh_degree)
             # same dtype as training/eval: grid marks near the alpha
             # threshold must not diverge from the configured model
             raw = nerf_apply(params, model_cfg, enc_pos, enc_dir,

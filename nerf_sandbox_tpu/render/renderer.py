@@ -85,6 +85,11 @@ class EvalHyper(NamedTuple):
     # mip-NeRF integrated positional encoding (must match training; freq
     # encoder only; XLA eval path — the fused kernel has no IPE branch)
     ipe: bool = False
+    # view-direction encoder (must match training). "sh" = spherical
+    # harmonics; enc_dir is computed OUTSIDE the fused kernel, so the
+    # Pallas eval path works with either.
+    dir_encoder: str = "freq"
+    sh_degree: int = 4
 
 
 def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
@@ -97,12 +102,14 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
     def _fused_fwd_local(params, rays_o, rays_d_unit, ray_norms, viewdirs, z):
         """Fused Pallas ray-march (ops/fused_raymarch.py) — the fast eval
         path; numerics-equivalent to the XLA branch below (bf16 compute)."""
-        from nerf_sandbox_tpu.core.encoding import positional_encoding
+        from nerf_sandbox_tpu.core.encoding import encode_dirs
         from nerf_sandbox_tpu.ops.fused_raymarch import fused_raymarch
         vn = jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
         vd = viewdirs / jnp.maximum(vn, 1e-12)
-        enc_dir = positional_encoding(vd, dir_bands,
-                                      include_input=hyper.dir_include_input)
+        enc_dir = encode_dirs(vd, dir_bands,
+                              include_input=hyper.dir_include_input,
+                              dir_encoder=hyper.dir_encoder,
+                              sh_degree=hyper.sh_degree)
         return fused_raymarch(
             params, hyper.model, rays_o, rays_d_unit, z, ray_norms, enc_dir,
             pos_bands_np, pos_include_input=hyper.pos_include_input,
@@ -180,6 +187,7 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
                 white_bkgd=hyper.white_bkgd, ray_norms=rn,
                 viewdirs_world_unit=vd,
                 sigma_activation=hyper.sigma_activation,
+                dir_encoder=hyper.dir_encoder, sh_degree=hyper.sh_degree,
                 infinite_last_bin=hyper.infinite_last_bin,
                 compute_dtype=jnp.dtype(hyper.compute_dtype),
                 pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg,
@@ -247,6 +255,7 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
                 white_bkgd=hyper.white_bkgd, ray_norms=ray_norms,
                 viewdirs_world_unit=viewdirs,
                 sigma_activation=hyper.sigma_activation,
+                dir_encoder=hyper.dir_encoder, sh_degree=hyper.sh_degree,
                 infinite_last_bin=hyper.infinite_last_bin,
                 compute_dtype=jnp.dtype(hyper.compute_dtype),
                 scene_contraction=hyper.scene_contraction,

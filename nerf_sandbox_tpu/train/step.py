@@ -109,6 +109,20 @@ class TrainHyper(NamedTuple):
     # (the trainer gates). Applies to every freq-encoded forward in the
     # step, including the proposal MLP (mip-NeRF 360 does the same).
     ipe: bool = False
+    # NeRF-W per-frame appearance codes (beyond-reference): model.app_dim
+    # wide, one learned row per training frame (n_app_frames), gathered
+    # per-ray from batch["frame_ids"] via a one-hot matmul (TPU-fast) and
+    # fed to the color head of every radiance forward (coarse + fine share
+    # the table — it describes the FRAME, not the model). The proposal MLP
+    # is density-only and never sees codes. 0 = off.
+    app_dim: int = 0
+    n_app_frames: int = 0
+    # view-direction encoder: reference freq gamma, or Instant-NGP-style
+    # real spherical harmonics (core/encoding.py:sh_encoding) — smaller
+    # (sh_degree² dims) and cheaper than sin/cos of 2^k·d. Applies to
+    # every dir encode in the step (both models + occupancy probes).
+    dir_encoder: str = "freq"
+    sh_degree: int = 4
 
 
 class TrainState(NamedTuple):
@@ -220,6 +234,13 @@ def init_train_state(key: jax.Array, hyper: TrainHyper, tx, *,
     elif hyper.pos_encoder == "kplanes":
         from nerf_sandbox_tpu.models.kplanes import init_kplanes_params
         params_f["pos_grid"] = init_kplanes_params(kgf, hyper.enc_cfg)
+    if hyper.app_dim > 0:
+        from nerf_sandbox_tpu.models.mlp import init_appearance_table
+        assert hyper.n_app_frames > 0, "app_dim needs n_app_frames"
+        # fold_in (not a wider split) keeps every pre-existing RNG stream —
+        # seeds reproduce the same init with or without appearance codes
+        params_f["app_emb"] = init_appearance_table(
+            jax.random.fold_in(key, 77), hyper.n_app_frames, hyper.app_dim)
 
     # The coarse slot depends on the sampling mode — only hierarchical has
     # a full coarse NeRF (+ its grid tables); building one just to discard
@@ -246,6 +267,19 @@ def init_train_state(key: jax.Array, hyper: TrainHyper, tx, *,
     opt_state = tx.init({"c": params_c, "f": params_f})
     return TrainState(step=jnp.int32(0), params_c=params_c, params_f=params_f,
                       opt_state=opt_state)
+
+
+def _ray_app_codes(params_f, batch, hyper: TrainHyper):
+    """(B, app_dim) per-ray appearance codes, or None when off.
+
+    One-hot matmul gather (the sampler's camera-lookup trick — per-row
+    dynamic gathers serialize on TPU; an (B,N)x(N,A) contraction is free
+    at these sizes). Gradients flow through to the code table."""
+    if not hyper.app_dim:
+        return None
+    oh = jax.nn.one_hot(batch["frame_ids"], hyper.n_app_frames,
+                        dtype=jnp.float32)
+    return oh @ params_f["app_emb"]
 
 
 def _occupancy_loss(params_f, occ_grid, batch, key, hyper: TrainHyper,
@@ -280,12 +314,14 @@ def _occupancy_loss(params_f, occ_grid, batch, key, hyper: TrainHyper,
         ray_norms=batch["rays_d_marching_norm"],
         viewdirs_world_unit=batch["rays_d_world_unit"],
         sigma_activation=hyper.sigma_activation,
+        dir_encoder=hyper.dir_encoder, sh_degree=hyper.sh_degree,
         raw_noise_std=hyper.raw_noise_std, noise_key=k_noise,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
         pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg,
         scene_contraction=hyper.scene_contraction,
-        ipe=hyper.ipe, radii=batch.get("radii"))
+        ipe=hyper.ipe, radii=batch.get("radii"),
+        app_emb=_ray_app_codes(params_f, batch, hyper))
 
     target = jnp.clip(jnp.nan_to_num(batch["rgb"]), 0.0, 1.0)
     loss_f = jnp.mean((comp_f - target) ** 2)
@@ -333,6 +369,7 @@ def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
         ray_norms=batch["rays_d_marching_norm"],
         viewdirs_world_unit=batch["rays_d_world_unit"],
         sigma_activation=hyper.sigma_activation,
+        dir_encoder=hyper.dir_encoder, sh_degree=hyper.sh_degree,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
         scene_contraction=hyper.scene_contraction,
@@ -353,12 +390,14 @@ def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
         ray_norms=batch["rays_d_marching_norm"],
         viewdirs_world_unit=batch["rays_d_world_unit"],
         sigma_activation=hyper.sigma_activation,
+        dir_encoder=hyper.dir_encoder, sh_degree=hyper.sh_degree,
         raw_noise_std=hyper.raw_noise_std, noise_key=k_noise,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
         pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg,
         scene_contraction=hyper.scene_contraction,
-        ipe=hyper.ipe, radii=batch.get("radii"))
+        ipe=hyper.ipe, radii=batch.get("radii"),
+        app_emb=_ray_app_codes(params_f, batch, hyper))
 
     target = jnp.clip(jnp.nan_to_num(batch["rgb"]), 0.0, 1.0)
     mse_f = jnp.mean((comp_f - target) ** 2)
@@ -394,12 +433,16 @@ def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
         ray_norms=batch["rays_d_marching_norm"],
         viewdirs_world_unit=batch["rays_d_world_unit"],
         sigma_activation=hyper.sigma_activation,
+        dir_encoder=hyper.dir_encoder, sh_degree=hyper.sh_degree,
         raw_noise_std=hyper.raw_noise_std,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
         pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg,
         scene_contraction=hyper.scene_contraction,
-        ipe=hyper.ipe, radii=batch.get("radii"))
+        ipe=hyper.ipe, radii=batch.get("radii"),
+        # both levels see the frame's code (NeRF-W trains coarse+fine with
+        # the shared per-image embedding); the table rides in params_f
+        app_emb=_ray_app_codes(params_f, batch, hyper))
 
     comp_c, w_c, _, _ = fwd(params_c, hyper.model, batch["rays_o_marching"],
                             batch["rays_d_marching_unit"], zc,

@@ -243,6 +243,20 @@ class Trainer:
             print(f"[cfg] note: --ipe applies to the freq (positional) "
                   f"encoder only; disabled for --encoder {self.pos_encoder}")
             self.ipe = False
+        # NeRF-W appearance codes (per TRAIN frame; eval folds a fixed code
+        # into the color head — mlp.py:fold_appearance)
+        self.app_dim = int(getattr(cfg, "appearance_dim", 0) or 0)
+        if self.app_dim > 0:
+            mode = str(getattr(cfg, "eval_appearance", "mean")).strip().lower()
+            if mode not in ("mean", "zero"):
+                idx = int(mode)   # raises on junk — fail at init, not at val
+                if not 0 <= idx < len(self.scene_train.frames):
+                    raise ValueError(
+                        f"--eval_appearance index {idx} out of range "
+                        f"(0..{len(self.scene_train.frames) - 1})")
+            print(f"[app] NeRF-W appearance codes: "
+                  f"{len(self.scene_train.frames)} frames x {self.app_dim} "
+                  f"(eval code: {mode})")
         self.enc_cfg = None
         if self.pos_encoder == "hashgrid":
             from nerf_sandbox_tpu.models.hashgrid import HashGridConfig
@@ -280,11 +294,23 @@ class Trainer:
         else:
             enc_pos_dim = encoder_out_dim(3, cfg.pos_num_freqs,
                                           cfg.pos_include_input)
-        enc_dir_dim = encoder_out_dim(3, cfg.dir_num_freqs, cfg.dir_include_input)
+        # view-direction encoder family (freq = reference; sh = spherical
+        # harmonics, core/encoding.py:sh_encoding)
+        self.dir_encoder = str(getattr(cfg, "dir_enc", "freq") or "freq")
+        self.sh_degree = int(getattr(cfg, "sh_degree", 4) or 4)
+        if self.dir_encoder == "sh":
+            if not 1 <= self.sh_degree <= 4:
+                raise ValueError(f"--sh_degree {self.sh_degree} not in 1..4")
+            enc_dir_dim = self.sh_degree ** 2
+            print(f"[enc] view dirs: spherical harmonics degree "
+                  f"{self.sh_degree} ({enc_dir_dim} dims)")
+        else:
+            enc_dir_dim = encoder_out_dim(3, cfg.dir_num_freqs,
+                                          cfg.dir_include_input)
         self.model_cfg = NeRFConfig(
             enc_pos_dim=enc_pos_dim, enc_dir_dim=enc_dir_dim,
             n_layers=cfg.n_layers, hidden_dim=cfg.hidden_dim,
-            skip_pos=cfg.skip_pos)
+            skip_pos=cfg.skip_pos, app_dim=self.app_dim)
 
         # ---- sampler spec (vanilla forces N_rand=1024 single-frame/precrop;
         #      trainer.py:277-306) ----
@@ -432,7 +458,10 @@ class Trainer:
                 getattr(cfg, "distortion_anneal_steps", 0) or 0),
             lindisp=self.lindisp, ipe=self.ipe,
             kp_tv_weight=(float(getattr(cfg, "kp_tv_weight", 0.0) or 0.0)
-                          if self.pos_encoder == "kplanes" else 0.0))
+                          if self.pos_encoder == "kplanes" else 0.0),
+            app_dim=self.app_dim,
+            n_app_frames=len(self.scene_train.frames),
+            dir_encoder=self.dir_encoder, sh_degree=self.sh_degree)
         if (float(getattr(cfg, "kp_tv_weight", 0.0) or 0.0) > 0
                 and self.pos_encoder != "kplanes"):
             print("[cfg] note: --kp_tv_weight has no effect without "
@@ -512,7 +541,8 @@ class Trainer:
                 dir_include_input=cfg.dir_include_input,
                 pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
                 compute_dtype=jnp.dtype(cfg.compute_dtype),
-                scene_contraction=self.scene_contraction)
+                scene_contraction=self.scene_contraction,
+                dir_encoder=self.dir_encoder, sh_degree=self.sh_degree)
 
         # ---- eval renderer ----
         # kplanes eval-only plane pooling (--eval_kp_pool): the plane
@@ -538,7 +568,11 @@ class Trainer:
                   "--encoder kplanes")
             self._kp_pool = 1
         self.eval_hyper = EvalHyper(
-            model=self.model_cfg, nc_eval=cfg.nc, nf_eval=cfg.nf,
+            # eval renders run the APP-FREE architecture: eval_params()
+            # folds the fixed eval code into the color head, so XLA and
+            # the fused Pallas kernel need no appearance branch
+            model=self.model_cfg._replace(app_dim=0),
+            nc_eval=cfg.nc, nf_eval=cfg.nf,
             white_bkgd=cfg.white_bkgd, sigma_activation=cfg.sigma_activation,
             infinite_last_bin=bool(cfg.infinite_last_bin),
             samp_near=self.samp_near, samp_far=self.samp_far,
@@ -553,7 +587,8 @@ class Trainer:
             prop_model=self.prop_model,
             n_prop_eval=(n_prop or 64),
             scene_contraction=self.scene_contraction,
-            lindisp=self.lindisp, ipe=self.ipe)
+            lindisp=self.lindisp, ipe=self.ipe,
+            dir_encoder=self.dir_encoder, sh_degree=self.sh_degree)
         self.render_tile = make_tile_renderer(
             self.eval_hyper, self.pos_bands, self.dir_bands, plan=self.plan)
 
@@ -687,7 +722,8 @@ class Trainer:
                 sigma_activation=self.cfg.sigma_activation,
                 infinite_last_bin=bool(self.cfg.infinite_last_bin),
                 pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
-                scene_contraction=self.scene_contraction)
+                scene_contraction=self.scene_contraction,
+                dir_encoder=self.dir_encoder, sh_degree=self.sh_degree)
             zf = resample_midpoints(z, w_c, self.cfg.nf, deterministic=True)
             # the hit metric needs the same bins/weights the sampler saw
             bins_mid = 0.5 * (z[:, 1:] + z[:, :-1])
@@ -831,13 +867,40 @@ class Trainer:
         out["pos_grid"] = pooled
         return out
 
+    def _eval_app_vec(self):
+        """The fixed appearance code eval renders fold into the color head
+        (--eval_appearance: table mean | zero | a train frame's code)."""
+        table = self.state.params_f["app_emb"]
+        mode = str(getattr(self.cfg, "eval_appearance", "mean")).strip().lower()
+        if mode == "zero":
+            return jnp.zeros((self.app_dim,), jnp.float32)
+        if mode == "mean":
+            return jnp.mean(table, axis=0)
+        return table[int(mode)]
+
+    def _fold_app(self, params):
+        """Fold the eval appearance code into a radiance model's color head
+        (no-op when codes are off or the slot isn't a radiance model)."""
+        if not self.app_dim or not isinstance(params, dict) \
+                or "color_fc" not in params:
+            return params
+        from nerf_sandbox_tpu.models.mlp import fold_appearance
+        folded, _ = fold_appearance(params, self.model_cfg,
+                                    self._eval_app_vec())
+        return folded
+
     def eval_params(self):
         """(coarse-slot, fine params) for eval renders — the coarse slot
-        carries the occupancy grid in occupancy mode."""
+        carries the occupancy grid in occupancy mode. Appearance codes are
+        folded here so every eval path runs the app-free architecture."""
+        pf = self._fold_app(self._pool_eval_grid(self.state.params_f))
         if self.sampling_mode == "occupancy":
-            return self.occ_grid, self._pool_eval_grid(self.state.params_f)
-        return (self._pool_eval_grid(self.state.params_c),
-                self._pool_eval_grid(self.state.params_f))
+            return self.occ_grid, pf
+        pc = self._pool_eval_grid(self.state.params_c)
+        if self.sampling_mode != "proposal":
+            # the proposal MLP is density-only and app-free by construction
+            pc = self._fold_app(pc)
+        return pc, pf
 
     def _maybe_update_occupancy(self, step: int) -> None:
         if self.occ_update is None:

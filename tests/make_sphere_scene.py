@@ -127,7 +127,13 @@ def look_at_pose(theta: float, phi: float, radius: float) -> np.ndarray:
 
 
 def make_scene(root, views: int = 20, size: int = 128, radius: float = 4.0,
-               textured: bool = False, val_views: int = 2):
+               textured: bool = False, val_views: int = 2,
+               exposure_jitter: float = 0.0):
+    """``exposure_jitter=s`` scales each TRAIN frame's RGB by a per-frame
+    gain drawn from [1-s, 1+s] (deterministic per index) — the NeRF-W
+    "photometric variation" regime (auto-exposure drift between shots).
+    Val frames stay at the canonical gain 1.0, so a model that absorbs the
+    per-frame gain into appearance codes evaluates clean."""
     import imageio.v2 as imageio
     root = Path(root)
     camera_angle_x = 0.6911
@@ -143,6 +149,10 @@ def make_scene(root, views: int = 20, size: int = 128, radius: float = 4.0,
             c2w = look_at_pose(theta, phi, radius)
             img = render_view(c2w, size, size, focal,
                               textured=textured, supersample=ss)
+            if exposure_jitter > 0 and split == "train":
+                gain = 1.0 + exposure_jitter * float(
+                    np.random.default_rng(1000 + i).uniform(-1.0, 1.0))
+                img[..., :3] = np.clip(img[..., :3] * gain, 0.0, 1.0)
             imageio.imwrite(root / split / f"r_{i}.png",
                             (img * 255 + 0.5).astype(np.uint8))
             frames.append({"file_path": f"./{split}/r_{i}",
@@ -162,7 +172,10 @@ if __name__ == "__main__":
                     help="checker/noise albedos + checkered ground disc "
                          "(high-frequency content; 2x supersampled)")
     ap.add_argument("--val_views", type=int, default=2)
+    ap.add_argument("--exposure_jitter", type=float, default=0.0,
+                    help="per-TRAIN-frame RGB gain in [1-s,1+s] (NeRF-W "
+                         "photometric-variation regime; val stays clean)")
     args = ap.parse_args()
     make_scene(args.root, args.views, args.size, textured=args.textured,
-               val_views=args.val_views)
+               val_views=args.val_views, exposure_jitter=args.exposure_jitter)
     print(f"wrote sphere scene to {args.root}")
