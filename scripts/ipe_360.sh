@@ -23,11 +23,18 @@ run() { # name data extra...
   local name=$1 data=$2; shift 2
   if [ -n "$ONLY" ] && [[ "$name" != *"$ONLY"* ]]; then return; fi
   if [ -e "$OUT/$name/.done" ]; then echo "IPE_${name}_SKIP"; return; fi
-  python -m nerf_sandbox_tpu.scripts.train_nerf \
-    --data_root "$data" --out_dir "$OUT/$name" --seed 42 $COMMON "$@" \
-    2>&1 | grep -E "^\[VAL\]|\[cfg\]|loss=nan|ERROR" | tail -10
-  touch "$OUT/$name/.done"
-  echo "IPE_${name}_DONE"
+  mkdir -p "$OUT/$name"
+  # full log kept per run; failures must surface, not mark .done
+  if python -u -m nerf_sandbox_tpu.scripts.train_nerf \
+      --data_root "$data" --out_dir "$OUT/$name" --seed 42 $COMMON "$@" \
+      > "$OUT/$name/run.log" 2>&1; then
+    grep -E "^\[VAL\]|loss=nan" "$OUT/$name/run.log" | tail -6
+    touch "$OUT/$name/.done"
+    echo "IPE_${name}_DONE"
+  else
+    tail -5 "$OUT/$name/run.log"
+    echo "IPE_${name}_FAILED"
+  fi
 }
 
 # unbounded-360, normalized frame: IPE on the two positional winners
