@@ -304,6 +304,15 @@ class Config:
     # learned table, "zero" (the canonical near-zero init), or an integer
     # train-frame index whose code to borrow.
     eval_appearance: str = "mean"
+    # Mesh export (beyond-reference): after training (and in
+    # --render_only), sample sigma on a mesh_res^3 lattice and write the
+    # sigma > mesh_thr isosurface as OBJ via marching tetrahedra
+    # (render/mesh.py). mesh_aabb 0 = auto box (NDC box under --use_ndc,
+    # +-2 under contraction, else the encoder/occupancy aabb_scale).
+    export_mesh: bool = False
+    mesh_res: int = 256
+    mesh_thr: float = 25.0
+    mesh_aabb: float = 0.0
 
     # Encoder family (new — BASELINE config #5 stretch)
     # positional = reference parity; hashgrid = Instant-NGP tables
@@ -531,6 +540,15 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--eval_appearance", type=str, default=d.eval_appearance,
                    help="code for eval renders: 'mean' | 'zero' | integer "
                         "train-frame index")
+    g.add_argument("--export_mesh", type=str2bool, default=d.export_mesh,
+                   help="write a marching-tetrahedra OBJ of the sigma > "
+                        "mesh_thr isosurface after training / --render_only")
+    g.add_argument("--mesh_res", type=int, default=d.mesh_res,
+                   help="mesh lattice resolution (res^3 sigma queries)")
+    g.add_argument("--mesh_thr", type=float, default=d.mesh_thr,
+                   help="sigma iso-level for the mesh surface")
+    g.add_argument("--mesh_aabb", type=float, default=d.mesh_aabb,
+                   help="half-extent of the mesh box (0 = auto)")
 
     g = p.add_argument_group("encoder family")
     g.add_argument("--encoder", choices=["positional", "hashgrid", "kplanes"],

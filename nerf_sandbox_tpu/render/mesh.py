@@ -1,0 +1,234 @@
+"""Mesh extraction from a trained density field (beyond-reference).
+
+The torch reference (`evan-wes/nerf-sandbox`) has no geometry export; this
+adds the Instant-NGP-style workflow: sample sigma on a lattice, run an
+isosurfacer, write an OBJ (``--export_mesh``).
+
+TPU-first split: the density query is a jitted chunked sweep over lattice
+points (the same pattern as the occupancy updater, models/occupancy.py) —
+one MXU-shaped (chunk, 63)x(63, 256) program reused across chunks; the
+isosurfacer runs on the host in vectorized numpy over z-slabs.
+
+The isosurfacer is **marching tetrahedra** (each cube split into 6
+tetrahedra around the 0-6 diagonal): unlike marching cubes it needs no
+256-entry case table, has no ambiguous saddle cases, and is watertight by
+construction — the test suite asserts every surface edge is shared by
+exactly two triangles on a sphere field. Vertices are deduplicated by
+lattice-edge key (each vertex lies on exactly one lattice edge), so shared
+vertices are exact, not float-rounded. Triangle winding is normalized
+a-posteriori so normals point outward (away from the inside/denser side).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+# cube corners (x, y, z offsets), Bourke numbering
+_CORNERS = np.array([(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+                     (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)], np.int64)
+# 6-tet decomposition sharing the 0-6 diagonal
+_TETS = np.array([(0, 5, 1, 6), (0, 1, 2, 6), (0, 2, 3, 6),
+                  (0, 3, 7, 6), (0, 7, 4, 6), (0, 4, 5, 6)], np.int64)
+
+
+def _tet_surface(pids, pos, vals, level):
+    """Triangulate the ``vals > level`` isosurface inside tetrahedra.
+
+    pids (N,4) int64 lattice ids · pos (N,4,3) · vals (N,4) →
+    (edge_keys (M,3) int64 sorted-pair keys, tri_pos (M,3,3) float32).
+    """
+    inside = vals > level
+    n_in = inside.sum(axis=1)
+
+    def emit(mask, e0, e1, e2):
+        """Edges given as (N_sel, 2) local-vertex-index pairs per corner."""
+        sel = np.nonzero(mask)[0]
+        if sel.size == 0:
+            return None
+        tris = []
+        for ea, eb in (e0, e1, e2):
+            pa = np.take_along_axis(pos[sel], ea[sel][:, None, None], 1)[:, 0]
+            pb = np.take_along_axis(pos[sel], eb[sel][:, None, None], 1)[:, 0]
+            fa = np.take_along_axis(vals[sel], ea[sel][:, None], 1)[:, 0]
+            fb = np.take_along_axis(vals[sel], eb[sel][:, None], 1)[:, 0]
+            t = np.clip((level - fa) / np.where(np.abs(fb - fa) < 1e-12,
+                                                1e-12, fb - fa), 0.0, 1.0)
+            ia = np.take_along_axis(pids[sel], ea[sel][:, None], 1)[:, 0]
+            ib = np.take_along_axis(pids[sel], eb[sel][:, None], 1)[:, 0]
+            # sorted-pair key; pids < 2^31 for any practical res, so the
+            # packed key stays inside int64
+            key = np.where(ia < ib, ia, ib) * (1 << 31) \
+                + np.where(ia < ib, ib, ia)
+            tris.append((key, pa + t[:, None] * (pb - pa)))
+        keys = np.stack([k for k, _ in tris], axis=1)        # (S, 3)
+        tpos = np.stack([p for _, p in tris], axis=1)        # (S, 3, 3)
+        # outward winding: flip triangles whose normal points toward the
+        # inside (denser) vertices
+        c_in = (pos[sel] * inside[sel][..., None]).sum(1) \
+            / np.maximum(inside[sel].sum(1), 1)[:, None]
+        c_out = (pos[sel] * (~inside[sel])[..., None]).sum(1) \
+            / np.maximum((~inside[sel]).sum(1), 1)[:, None]
+        nrm = np.cross(tpos[:, 1] - tpos[:, 0], tpos[:, 2] - tpos[:, 0])
+        flip = (nrm * (c_in - c_out)).sum(-1) > 0
+        keys[flip] = keys[flip][:, ::-1]
+        tpos[flip] = tpos[flip][:, ::-1]
+        return keys, tpos
+
+    out = []
+    order = np.argsort(~inside, axis=1, kind="stable")   # inside first
+    # one vertex inside (or one outside): a single triangle around it
+    for lone_in in (True, False):
+        mask = n_in == (1 if lone_in else 3)
+        if not mask.any():
+            continue
+        lone = np.argmax(inside == lone_in, axis=1)
+        rest = np.argsort(np.eye(4, dtype=bool)[lone], axis=1,
+                          kind="stable")[:, :3]
+        r = emit(mask, (lone, rest[:, 0]), (lone, rest[:, 1]),
+                 (lone, rest[:, 2]))
+        if r:
+            out.append(r)
+    # two inside / two outside: a quad (a-c, a-d, b-d, b-c) -> 2 triangles
+    mask2 = n_in == 2
+    if mask2.any():
+        a, b = order[:, 0], order[:, 1]
+        c, d = order[:, 2], order[:, 3]
+        r = emit(mask2, (a, c), (a, d), (b, d))
+        if r:
+            out.append(r)
+        r = emit(mask2, (a, c), (b, d), (b, c))
+        if r:
+            out.append(r)
+    if not out:
+        return (np.zeros((0, 3), np.int64), np.zeros((0, 3, 3), np.float32))
+    return (np.concatenate([k for k, _ in out]),
+            np.concatenate([p for _, p in out]))
+
+
+def marching_tetrahedra(grid: np.ndarray, level: float, lo, hi):
+    """Isosurface ``grid > level`` → (verts (V,3) f32, faces (F,3) i32).
+
+    ``grid`` holds lattice-point samples with shape (Rx, Ry, Rz); lattice
+    point (i,j,k) sits at ``lo + (i,j,k)/(R-1)·(hi-lo)``. Processes cube
+    z-slabs so peak memory is O(Rx·Ry), not O(Rx·Ry·Rz·6).
+    """
+    grid = np.asarray(grid, np.float32)
+    Rx, Ry, Rz = grid.shape
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    scale = (hi - lo) / np.maximum(np.asarray([Rx, Ry, Rz]) - 1, 1)
+
+    gi, gj = np.meshgrid(np.arange(Rx - 1), np.arange(Ry - 1), indexing="ij")
+    base = np.stack([gi.ravel(), gj.ravel()], axis=1)        # (C, 2)
+
+    all_keys, all_pos = [], []
+    for k in range(Rz - 1):
+        ijk = np.concatenate([base, np.full((len(base), 1), k, np.int64)],
+                             axis=1)                          # (C, 3)
+        corn = ijk[:, None, :] + _CORNERS[None]               # (C, 8, 3)
+        pid8 = (corn[..., 0] * Ry + corn[..., 1]) * Rz + corn[..., 2]
+        val8 = grid[corn[..., 0], corn[..., 1], corn[..., 2]]
+        pos8 = lo + corn.astype(np.float32) * scale
+        pids = pid8[:, _TETS].reshape(-1, 4)                  # (C*6, 4)
+        vals = val8[:, _TETS].reshape(-1, 4)
+        pos = pos8[:, _TETS].reshape(-1, 4, 3)
+        n_in = (vals > level).sum(1)
+        live = (n_in > 0) & (n_in < 4)
+        if not live.any():
+            continue
+        keys, tpos = _tet_surface(pids[live], pos[live], vals[live], level)
+        all_keys.append(keys)
+        all_pos.append(tpos)
+
+    if not all_keys:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    keys = np.concatenate(all_keys)                           # (F, 3)
+    tpos = np.concatenate(all_pos)                            # (F, 3, 3)
+    uniq, idx, inv = np.unique(keys.ravel(), return_index=True,
+                               return_inverse=True)
+    verts = tpos.reshape(-1, 3)[idx]
+    faces = inv.reshape(-1, 3).astype(np.int32)
+    # drop degenerate faces (two corners on the same lattice edge)
+    ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+          & (faces[:, 0] != faces[:, 2]))
+    return verts.astype(np.float32), faces[ok]
+
+
+def query_density_grid(params, model_cfg, pos_bands, dir_bands, *, res: int,
+                       lo, hi, sigma_activation: str = "relu",
+                       pos_include_input: bool = True,
+                       dir_include_input: bool = True,
+                       pos_encoder: str = "freq", enc_cfg=None,
+                       compute_dtype=None, scene_contraction: bool = False,
+                       dir_encoder: str = "freq", sh_degree: int = 4,
+                       chunk: int = 262144) -> np.ndarray:
+    """σ at (res³) lattice points over the [lo, hi] box → (res,res,res).
+
+    Same encoder/activation path as training (occupancy.py pattern); view
+    direction is irrelevant for σ, a fixed unit dir feeds the unused color
+    branch (appearance codes default to the zero code in nerf_apply).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_sandbox_tpu.core.encoding import encode_dirs
+    from nerf_sandbox_tpu.models.mlp import nerf_apply
+
+    axes = [np.linspace(lo[i], hi[i], res, dtype=np.float32)
+            for i in range(3)]
+    pts = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, 3)
+
+    @jax.jit
+    def density(pts_chunk):
+        if scene_contraction:
+            from nerf_sandbox_tpu.core.encoding import scene_contract
+            pts_chunk = scene_contract(pts_chunk)
+        if pos_encoder == "hashgrid":
+            from nerf_sandbox_tpu.models.hashgrid import hash_encode
+            enc_pos = hash_encode(params["pos_grid"], pts_chunk, enc_cfg)
+        elif pos_encoder == "kplanes":
+            from nerf_sandbox_tpu.models.kplanes import kplanes_encode
+            enc_pos = kplanes_encode(params["pos_grid"], pts_chunk, enc_cfg,
+                                     compute_dtype=compute_dtype
+                                     or jnp.float32)
+        else:
+            from nerf_sandbox_tpu.core.encoding import positional_encoding
+            enc_pos = positional_encoding(pts_chunk, pos_bands,
+                                          include_input=pos_include_input)
+        d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32),
+                             pts_chunk.shape)
+        enc_dir = encode_dirs(d, dir_bands, include_input=dir_include_input,
+                              dir_encoder=dir_encoder, sh_degree=sh_degree)
+        raw = nerf_apply(params, model_cfg, enc_pos, enc_dir,
+                         compute_dtype=compute_dtype)[..., 3]
+        if sigma_activation == "softplus":
+            return jax.nn.softplus(raw)
+        return jax.nn.relu(raw)
+
+    out = np.empty((pts.shape[0],), np.float32)
+    for i in range(0, pts.shape[0], chunk):
+        end = min(i + chunk, pts.shape[0])
+        blk = pts[i:end]
+        if blk.shape[0] < chunk and i > 0:
+            # keep one jit signature: pad the tail chunk
+            blk = np.concatenate(
+                [blk, np.zeros((chunk - blk.shape[0], 3), np.float32)])
+            out[i:end] = np.asarray(density(jnp.asarray(blk)))[:end - i]
+        else:
+            out[i:end] = np.asarray(density(jnp.asarray(blk)))
+    return out.reshape(res, res, res)
+
+
+def export_obj(path, verts: np.ndarray, faces: np.ndarray) -> None:
+    """Minimal OBJ writer (1-based face indices)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        f.write(f"# nerf-sandbox-tpu mesh: {len(verts)} verts, "
+                f"{len(faces)} faces\n")
+        for v in verts:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for a, b, c in faces + 1:
+            f.write(f"f {a} {b} {c}\n")

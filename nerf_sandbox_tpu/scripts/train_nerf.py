@@ -84,6 +84,8 @@ def main(argv=None):
             trainer._rebuild_occupancy(0)        # grid-less checkpoint
         valr.render_camera_path_video(
             *trainer.eval_params(), video_name="camera_path", overwrite=True)
+        if cfg.export_mesh:
+            trainer.export_mesh_obj(int(trainer.state.step))
         return
 
     trainer.train()

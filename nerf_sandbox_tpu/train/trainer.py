@@ -889,6 +889,53 @@ class Trainer:
                                     self._eval_app_vec())
         return folded
 
+    def export_mesh_obj(self, step: int):
+        """--export_mesh: sigma lattice sweep → marching-tetrahedra OBJ
+        (render/mesh.py; beyond-reference — the torch reference has no
+        geometry export). Runs on the main process only."""
+        if not self.is_main:
+            return None
+        from nerf_sandbox_tpu.render.mesh import (export_obj,
+                                                  marching_tetrahedra,
+                                                  query_density_grid)
+        cfg = self.cfg
+        s = float(getattr(cfg, "mesh_aabb", 0.0) or 0.0)
+        if s > 0:
+            lo, hi = (-s, -s, -s), (s, s, s)
+        elif self.use_ndc:
+            # the encoder sees NDC marching coords; the mesh lives there too
+            lo, hi = (-1.0, -1.0, 0.0), (1.0, 1.0, 1.0)
+        elif self.scene_contraction:
+            # foreground sits inside the unit ball (trainer warns
+            # otherwise); +-2 world covers it plus the near background
+            lo, hi = (-2.0, -2.0, -2.0), (2.0, 2.0, 2.0)
+        elif self.enc_cfg is not None:
+            a = float(self.enc_cfg.aabb_scale)
+            lo, hi = (-a, -a, -a), (a, a, a)
+        elif self.occ_cfg is not None:
+            lo, hi = self.occ_cfg.lo, self.occ_cfg.hi
+        else:
+            lo, hi = (-1.5, -1.5, -1.5), (1.5, 1.5, 1.5)
+        res = int(cfg.mesh_res)
+        ct = (None if str(cfg.compute_dtype) == "float32"
+              else jnp.dtype(cfg.compute_dtype))
+        grid = query_density_grid(
+            self._fold_app(dict(self.state.params_f)),
+            self.eval_hyper.model, self.pos_bands, self.dir_bands,
+            res=res, lo=lo, hi=hi,
+            sigma_activation=cfg.sigma_activation,
+            pos_include_input=cfg.pos_include_input,
+            dir_include_input=cfg.dir_include_input,
+            pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
+            compute_dtype=ct, scene_contraction=self.scene_contraction,
+            dir_encoder=self.dir_encoder, sh_degree=self.sh_degree)
+        verts, faces = marching_tetrahedra(grid, float(cfg.mesh_thr), lo, hi)
+        path = self.out_dir / "mesh" / f"mesh_step_{step:07d}.obj"
+        export_obj(path, verts, faces)
+        print(f"[MESH] wrote {path} ({len(verts)} verts, {len(faces)} "
+              f"faces; res {res}, thr {cfg.mesh_thr}, box {lo}..{hi})")
+        return path
+
     def eval_params(self):
         """(coarse-slot, fine params) for eval renders — the coarse slot
         carries the occupancy grid in occupancy mode. Appearance codes are
@@ -1263,6 +1310,12 @@ class Trainer:
                 self.valr.export_progress_video(video_name="training_progress")
             except Exception as e:
                 print(f"[PROGRESS] Video assembly failed: {e}")
+
+        if getattr(cfg, "export_mesh", False):
+            try:
+                self.export_mesh_obj(step)
+            except Exception as e:
+                print(f"[MESH] export failed: {e}")
 
         if getattr(self, "_orbax_mgr", None) is not None:
             self._orbax_mgr.mgr.wait_until_finished()
