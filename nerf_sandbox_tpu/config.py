@@ -304,6 +304,17 @@ class Config:
     # learned table, "zero" (the canonical near-zero init), or an integer
     # train-frame index whose code to borrow.
     eval_appearance: str = "mean"
+    # BARF/NeRF---style learned camera refinement (beyond-reference): a
+    # per-train-frame se3 delta table trained through ray generation by
+    # the photometric loss. Recovers from noisy/imprecise input poses;
+    # validation keeps the dataset's val poses unmodified.
+    pose_opt: bool = False
+    pose_lr: float = 1e-3
+    # BARF coarse-to-fine positional-encoding anneal: freq bands fade in
+    # low-to-high over this many steps. The standard companion to
+    # --pose_opt (pose gradients under a full L=10 encoding are basin-
+    # less); also usable alone as a curriculum. 0 = off.
+    barf_anneal_steps: int = 0
     # Mesh export (beyond-reference): after training (and in
     # --render_only), sample sigma on a mesh_res^3 lattice and write the
     # sigma > mesh_thr isosurface as OBJ via marching tetrahedra
@@ -540,6 +551,15 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--eval_appearance", type=str, default=d.eval_appearance,
                    help="code for eval renders: 'mean' | 'zero' | integer "
                         "train-frame index")
+    g.add_argument("--pose_opt", type=str2bool, default=d.pose_opt,
+                   help="BARF-style camera refinement: learn per-train-"
+                        "frame se3 pose deltas through the photometric loss")
+    g.add_argument("--pose_lr", type=float, default=d.pose_lr,
+                   help="Adam lr for the pose-delta table (--pose_opt)")
+    g.add_argument("--barf_anneal_steps", type=int, default=d.barf_anneal_steps,
+                   help="BARF coarse-to-fine anneal: fade freq bands in "
+                        "low-to-high over this many steps (companion to "
+                        "--pose_opt)")
     g.add_argument("--export_mesh", type=str2bool, default=d.export_mesh,
                    help="write a marching-tetrahedra OBJ of the sigma > "
                         "mesh_thr isosurface after training / --render_only")

@@ -48,21 +48,45 @@ def encoder_out_dim(input_dims: int, num_freqs: int,
 
 
 def positional_encoding(x: jnp.ndarray, freq_bands: jnp.ndarray,
-                        include_input: bool = True) -> jnp.ndarray:
+                        include_input: bool = True,
+                        band_weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """Apply gamma(x). ``x``: (..., D); ``freq_bands``: (F,). Returns (..., out_dim).
 
     Feature layout matches encoders.py:95-104: per-band sin blocks then
     per-band cos blocks, input prepended when ``include_input``.
+
+    ``band_weights`` (F,), optional: per-band feature scaling — the BARF
+    coarse-to-fine anneal (``barf_band_weights``). None == all-ones.
     """
     fb = freq_bands.astype(x.dtype)
     xb = x[..., None, :] * fb[:, None]              # (..., F, D)
     sin = jnp.sin(xb)
     cos = jnp.cos(xb)
+    if band_weights is not None:
+        w = band_weights.astype(x.dtype)[:, None]   # (F, 1)
+        sin = sin * w
+        cos = cos * w
     enc = jnp.concatenate([sin, cos], axis=-2)       # (..., 2F, D)
     enc = enc.reshape(*x.shape[:-1], -1)             # (..., 2F*D)
     if include_input:
         enc = jnp.concatenate([x, enc], axis=-1)
     return enc
+
+
+def barf_band_weights(step, anneal_steps: int, num_bands: int) -> jnp.ndarray:
+    """BARF coarse-to-fine schedule (Lin et al. 2021, eq. 13) → (F,).
+
+    alpha = F·step/anneal ramps 0→F; band k's weight is 0 before alpha
+    reaches k, a smooth cosine ease-in while alpha crosses [k, k+1], and 1
+    after. Low bands activate first, so early pose gradients follow the
+    smooth coarse signal instead of the oscillatory high frequencies —
+    the fix that makes --pose_opt converge from bad initial poses.
+    ``step`` may be traced (no recompile per step).
+    """
+    alpha = num_bands * jnp.asarray(step, jnp.float32) / float(anneal_steps)
+    k = jnp.arange(num_bands, dtype=jnp.float32)
+    t = jnp.clip(alpha - k, 0.0, 1.0)
+    return 0.5 * (1.0 - jnp.cos(jnp.pi * t))
 
 
 def sh_encoding(dirs: jnp.ndarray, degree: int = 4) -> jnp.ndarray:

@@ -195,13 +195,15 @@ def _sharded_pixel_gather(images: jnp.ndarray, fids, ys, xs, mesh) -> jnp.ndarra
         out_specs=P(), check_vma=False)(images, fids, ys, xs)
 
 
-@partial(jax.jit, static_argnames=("spec", "plan"))
-def sample_ray_batch(key: jax.Array, step: jnp.ndarray, scene: SceneArrays,
-                     spec: RayBatchSpec, plan=None) -> dict:
-    """Draw one training batch of rays. Pure; runs inside the train step.
+def sample_pixels(key: jax.Array, step: jnp.ndarray, scene: SceneArrays,
+                  spec: RayBatchSpec, plan=None) -> dict:
+    """Stage 1: draw (frame, pixel) ids and fetch target colors.
 
-    ``plan`` (static MeshPlan) is only consulted when ``spec.shard_frames``
-    — the frame-sharded image bank needs the mesh for its gather.
+    Pure and NON-differentiable (integer draws + image gather); the
+    differentiable half is :func:`rays_for_pixels`. Split so that
+    ``--pose_opt`` can generate rays INSIDE the loss closure (gradients
+    flow through ray generation into the per-frame pose deltas) while the
+    pixel draw stays outside it.
     """
     B = spec.rays_per_batch
     n_frames = scene.n_frames
@@ -231,7 +233,18 @@ def sample_ray_batch(key: jax.Array, step: jnp.ndarray, scene: SceneArrays,
             rgb = pix[..., :3]
     else:
         rgb = pix
+    return {"rgb": rgb, "frame_ids": fids, "xs": xs, "ys": ys}
 
+
+def rays_for_pixels(scene: SceneArrays, spec: RayBatchSpec, fids, xs, ys,
+                    pose_delta=None) -> dict:
+    """Stage 2: per-ray camera lookup + ray generation (differentiable).
+
+    ``pose_delta`` (B, 6) — optional per-ray se3 deltas (core/pose.py)
+    left-composed onto the looked-up c2w rows; None is bit-identical to
+    the historical single-stage path.
+    """
+    n_frames = scene.n_frames
     # Per-ray camera lookup as a one-hot contraction: row gathers lower to
     # slow serialized loads on TPU, while an (B,N)x(N,21) matmul is free at
     # these sizes (N = #frames).
@@ -244,6 +257,9 @@ def sample_ray_batch(key: jax.Array, step: jnp.ndarray, scene: SceneArrays,
                           precision=jax.lax.Precision.HIGHEST)     # (B, 21)
     Ks = cam_rows[:, :9].reshape(-1, 3, 3)                         # (B, 3, 3)
     c2ws = cam_rows[:, 9:].reshape(-1, 3, 4)                       # (B, 3, 4)
+    if pose_delta is not None:
+        from nerf_sandbox_tpu.core.pose import apply_pose_delta
+        c2ws = apply_pose_delta(c2ws, pose_delta)
     pixels_xy = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], -1)
 
     ray_fn = partial(get_camera_rays, image_h=spec.image_h, image_w=spec.image_w,
@@ -258,7 +274,6 @@ def sample_ray_batch(key: jax.Array, step: jnp.ndarray, scene: SceneArrays,
     radii = pixel_cone_radii(cam_rows[:, 0], rays.d_world_norm[..., 0])
 
     return {
-        "rgb": rgb,
         "rays_o_world": rays.o_world,
         "rays_d_world_unit": rays.d_world_unit,
         "rays_d_world_norm": rays.d_world_norm,
@@ -266,6 +281,25 @@ def sample_ray_batch(key: jax.Array, step: jnp.ndarray, scene: SceneArrays,
         "rays_d_marching_unit": rays.d_march_unit,
         "rays_d_marching_norm": rays.d_march_norm,
         "radii": radii,
+    }
+
+
+@partial(jax.jit, static_argnames=("spec", "plan"))
+def sample_ray_batch(key: jax.Array, step: jnp.ndarray, scene: SceneArrays,
+                     spec: RayBatchSpec, plan=None) -> dict:
+    """Draw one training batch of rays. Pure; runs inside the train step.
+
+    ``plan`` (static MeshPlan) is only consulted when ``spec.shard_frames``
+    — the frame-sharded image bank needs the mesh for its gather.
+    Composition of :func:`sample_pixels` + :func:`rays_for_pixels` (ops and
+    order identical to the historical single-stage implementation).
+    """
+    pix = sample_pixels(key, step, scene, spec, plan=plan)
+    rays = rays_for_pixels(scene, spec, pix["frame_ids"], pix["xs"],
+                           pix["ys"])
+    return {
+        "rgb": pix["rgb"],
+        **rays,
         # source-frame index per ray (appearance-embedding lookup)
-        "frame_ids": fids,
+        "frame_ids": pix["frame_ids"],
     }

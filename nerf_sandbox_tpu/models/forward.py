@@ -57,6 +57,7 @@ def nerf_forward_pass(
     app_emb: jnp.ndarray | None = None,  # (B, app_dim) per-ray appearance codes
     dir_encoder: str = "freq",       # "freq" | "sh" (spherical harmonics)
     sh_degree: int = 4,
+    pe_band_weights: jnp.ndarray | None = None,  # (Fp,) BARF anneal weights
 ):
     """Returns (composite_rgb (B,3), weights (B,N), acc (B,1), depth (B,1))."""
     B, N = z_vals.shape
@@ -120,7 +121,8 @@ def nerf_forward_pass(
                                  enc_cfg, compute_dtype=compute_dtype)
     else:
         enc_pos = positional_encoding(pts.reshape(-1, 3), pos_bands,
-                                      include_input=pos_include_input)
+                                      include_input=pos_include_input,
+                                      band_weights=pe_band_weights)
     from nerf_sandbox_tpu.core.encoding import encode_dirs
     enc_dir = encode_dirs(vdirs.reshape(-1, 3), dir_bands,
                           include_input=dir_include_input,

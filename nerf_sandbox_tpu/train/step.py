@@ -123,6 +123,21 @@ class TrainHyper(NamedTuple):
     # every dir encode in the step (both models + occupancy probes).
     dir_encoder: str = "freq"
     sh_degree: int = 4
+    # BARF/NeRF---style camera refinement: a learnable (n_pose_frames, 6)
+    # se3 delta table (core/pose.py) left-composed onto each training
+    # frame's c2w INSIDE the loss closure — ray generation moves into the
+    # differentiated region (data/sampler.py:rays_for_pixels) so the
+    # photometric gradient reaches the poses. Zero deltas reproduce the
+    # baseline rays exactly. Validation keeps the dataset's val poses.
+    pose_opt: bool = False
+    n_pose_frames: int = 0
+    # BARF coarse-to-fine positional-encoding anneal: freq band k fades in
+    # as alpha = F·step/anneal crosses k (core/encoding.py:
+    # barf_band_weights). Low bands first → pose gradients follow the
+    # coarse signal; the standard companion to pose_opt (without it, pose
+    # refinement under a full L=10 encoding is basin-less and can diverge
+    # — measured in tests/test_pose.py). freq pos encoder only. 0 = off.
+    barf_anneal_steps: int = 0
 
 
 class TrainState(NamedTuple):
@@ -175,7 +190,8 @@ def make_optimizer(lr: float, scheduler: str = "cosine",
                    grad_clip_norm: float = 0.0,
                    grid_lr: float = 0.0,
                    grid_weight_decay: float = 0.0,
-                   grid_decay_target: float = 0.0
+                   grid_decay_target: float = 0.0,
+                   pose_lr: float = 0.0
                    ) -> optax.GradientTransformation:
     """One Adam over both models (trainer.py:383-391), optional global-norm
     clip (trainer.py:719-721).
@@ -189,30 +205,46 @@ def make_optimizer(lr: float, scheduler: str = "cosine",
     ``grid_weight_decay`` > 0 adds decoupled per-step decay on the grid
     tables toward ``grid_decay_target`` — the target matters: kplanes
     features combine multiplicatively (neutral element 1.0, the init mean),
-    hash tables additively (neutral 0.0); the trainer picks per family."""
+    hash tables additively (neutral 0.0); the trainer picks per family.
+
+    ``pose_lr`` > 0 gives the --pose_opt se3 delta table (``pose_delta``)
+    its own Adam rate under the same scheduler shape (BARF practice:
+    poses want ~1e-3 while the MLP runs 5e-4)."""
     schedule = make_lr_schedule(scheduler, lr, scheduler_params or {})
     grid_split = (grid_lr and grid_lr > 0) or \
                  (grid_weight_decay and grid_weight_decay > 0)
-    if grid_split:
+    pose_split = bool(pose_lr and pose_lr > 0)
+
+    def _scaled_schedule(sub_lr):
+        sp = dict(scheduler_params or {})
+        if "eta_min" in sp and lr:
+            sp["eta_min"] = float(sp["eta_min"]) * sub_lr / lr
+        return make_lr_schedule(scheduler, sub_lr, sp)
+
+    if grid_split or pose_split:
         if grid_lr and grid_lr > 0:
-            sp = dict(scheduler_params or {})
-            if "eta_min" in sp and lr:
-                sp["eta_min"] = float(sp["eta_min"]) * grid_lr / lr
-            grid_schedule = make_lr_schedule(scheduler, grid_lr, sp)
+            grid_schedule = _scaled_schedule(grid_lr)
         else:
             grid_schedule = schedule
         grid_tx = optax.adam(grid_schedule)
         if grid_weight_decay and grid_weight_decay > 0:
             grid_tx = optax.chain(
                 grid_tx, _decay_toward(grid_weight_decay, grid_decay_target))
+        pose_tx = optax.adam(_scaled_schedule(pose_lr) if pose_split
+                             else schedule)
 
         def labels(params):
-            return jax.tree_util.tree_map_with_path(
-                lambda path, _: "grid" if any(
-                    getattr(k, "key", None) == "pos_grid" for k in path)
-                else "mlp", params)
+            def lab(path, _):
+                keys = [getattr(k, "key", None) for k in path]
+                if "pos_grid" in keys:
+                    return "grid"
+                if "pose_delta" in keys:
+                    return "pose"
+                return "mlp"
+            return jax.tree_util.tree_map_with_path(lab, params)
         tx = optax.multi_transform(
-            {"mlp": optax.adam(schedule), "grid": grid_tx}, labels)
+            {"mlp": optax.adam(schedule), "grid": grid_tx, "pose": pose_tx},
+            labels)
     else:
         tx = optax.adam(schedule)
     if grad_clip_norm and grad_clip_norm > 0:
@@ -241,6 +273,12 @@ def init_train_state(key: jax.Array, hyper: TrainHyper, tx, *,
         # seeds reproduce the same init with or without appearance codes
         params_f["app_emb"] = init_appearance_table(
             jax.random.fold_in(key, 77), hyper.n_app_frames, hyper.app_dim)
+    if hyper.pose_opt:
+        assert hyper.n_pose_frames > 0, "pose_opt needs n_pose_frames"
+        # zero init == identity deltas (so3_exp Taylor branch): step 0
+        # reproduces the un-refined rays bit-for-bit
+        params_f["pose_delta"] = jnp.zeros((hyper.n_pose_frames, 6),
+                                           jnp.float32)
 
     # The coarse slot depends on the sampling mode — only hierarchical has
     # a full coarse NeRF (+ its grid tables); building one just to discard
@@ -284,7 +322,7 @@ def _ray_app_codes(params_f, batch, hyper: TrainHyper):
 
 def _occupancy_loss(params_f, occ_grid, batch, key, hyper: TrainHyper,
                     pos_bands, dir_bands, uniform_blend=None,
-                    dist_scale=None):
+                    dist_scale=None, pe_w=None):
     """Occupancy-mode loss: grid probes place ALL samples; one model eval.
 
     Replaces the coarse NeRF pass entirely (models/occupancy.py) — the
@@ -315,6 +353,7 @@ def _occupancy_loss(params_f, occ_grid, batch, key, hyper: TrainHyper,
         viewdirs_world_unit=batch["rays_d_world_unit"],
         sigma_activation=hyper.sigma_activation,
         dir_encoder=hyper.dir_encoder, sh_degree=hyper.sh_degree,
+        pe_band_weights=pe_w,
         raw_noise_std=hyper.raw_noise_std, noise_key=k_noise,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
@@ -335,7 +374,8 @@ def _occupancy_loss(params_f, occ_grid, batch, key, hyper: TrainHyper,
 
 
 def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
-                   pos_bands, dir_bands, anneal=None, dist_scale=None):
+                   pos_bands, dir_bands, anneal=None, dist_scale=None,
+                   pe_w=None):
     """Proposal-mode loss (mip-NeRF 360-style, beyond-reference).
 
     A small freq-encoded density MLP (``params_p``, the coarse slot)
@@ -370,6 +410,7 @@ def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
         viewdirs_world_unit=batch["rays_d_world_unit"],
         sigma_activation=hyper.sigma_activation,
         dir_encoder=hyper.dir_encoder, sh_degree=hyper.sh_degree,
+        pe_band_weights=pe_w,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
         scene_contraction=hyper.scene_contraction,
@@ -391,6 +432,7 @@ def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
         viewdirs_world_unit=batch["rays_d_world_unit"],
         sigma_activation=hyper.sigma_activation,
         dir_encoder=hyper.dir_encoder, sh_degree=hyper.sh_degree,
+        pe_band_weights=pe_w,
         raw_noise_std=hyper.raw_noise_std, noise_key=k_noise,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
@@ -411,7 +453,7 @@ def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
 
 
 def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
-                        pos_bands, dir_bands, dist_scale=None):
+                        pos_bands, dir_bands, dist_scale=None, pe_w=None):
     """Coarse+fine forward and per-model MSE for one ray (sub-)batch.
 
     When ``hyper.distortion_weight`` > 0 the (pre-scaled) distortion term
@@ -434,6 +476,7 @@ def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
         viewdirs_world_unit=batch["rays_d_world_unit"],
         sigma_activation=hyper.sigma_activation,
         dir_encoder=hyper.dir_encoder, sh_degree=hyper.sh_degree,
+        pe_band_weights=pe_w,
         raw_noise_std=hyper.raw_noise_std,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
@@ -507,8 +550,19 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
             step.astype(jnp.float32) / hyper.distortion_anneal_steps,
             0.0, 1.0)
 
+    def barf_w_of(step):
+        # BARF coarse-to-fine band weights (traced step -> no recompile);
+        # freq point-encoder only (IPE has its own scale attenuation)
+        if (hyper.barf_anneal_steps <= 0 or hyper.pos_encoder != "freq"
+                or hyper.ipe):
+            return None
+        from nerf_sandbox_tpu.core.encoding import barf_band_weights
+        return barf_band_weights(step, hyper.barf_anneal_steps,
+                                 pos_bands.shape[0])
+
     def loss_fn(params_cf, batch, key, step):
         dscale = dist_scale_of(step)
+        pw = barf_w_of(step)
         if hyper.micro_chunks and hyper.micro_chunks > 1:
             m = hyper.micro_chunks
             B = batch["rgb"].shape[0]
@@ -521,18 +575,19 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
                 sub_batch, k = xs
                 lc, lf = _coarse_fine_losses(
                     params_cf["c"], params_cf["f"], sub_batch, k, hyper,
-                    pos_bands, dir_bands, dist_scale=dscale)
+                    pos_bands, dir_bands, dist_scale=dscale, pe_w=pw)
                 return (acc[0] + lc / m, acc[1] + lf / m), None
 
             (lc, lf), _ = jax.lax.scan(body, (0.0, 0.0), (chunked, keys))
         else:
             lc, lf = _coarse_fine_losses(
                 params_cf["c"], params_cf["f"], batch, key, hyper,
-                pos_bands, dir_bands, dist_scale=dscale)
+                pos_bands, dir_bands, dist_scale=dscale, pe_w=pw)
         return lc + lf + grid_reg(params_cf), lf
 
     def occ_loss_fn(params_cf, batch, key, occ_grid, step):
         dscale = dist_scale_of(step)
+        pw = barf_w_of(step)
         if hyper.occ_explore_anneal and hyper.occ_explore_anneal > 0:
             # linear 1→0 stratified blend over anneal steps (bootstrap:
             # sample everywhere while density is unlearned, then hand the
@@ -555,18 +610,19 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
                 reg, lf = _occupancy_loss(params_cf["f"], occ_grid, sub_batch,
                                           k, hyper, pos_bands, dir_bands,
                                           uniform_blend=blend,
-                                          dist_scale=dscale)
+                                          dist_scale=dscale, pe_w=pw)
                 return (acc[0] + reg / m, acc[1] + lf / m), None
 
             (reg, lf), _ = jax.lax.scan(body, (0.0, 0.0), (chunked, keys))
         else:
             reg, lf = _occupancy_loss(params_cf["f"], occ_grid, batch, key,
                                       hyper, pos_bands, dir_bands,
-                                      uniform_blend=blend, dist_scale=dscale)
+                                      uniform_blend=blend, dist_scale=dscale, pe_w=pw)
         return lf + reg + grid_reg(params_cf), lf
 
     def prop_loss_fn(params_cf, batch, key, step):
         dscale = dist_scale_of(step)
+        pw = barf_w_of(step)
         if hyper.prop_anneal_steps and hyper.prop_anneal_steps > 0:
             # Schlick bias ramp 0→1 over anneal_steps (mip-NeRF 360 §3):
             # b(x) = s·x / ((s-1)·x + 1); resample weights get w^b.
@@ -589,14 +645,14 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
                 reg, lf = _proposal_loss(params_cf["c"], params_cf["f"],
                                          sub_batch, k, hyper, pos_bands,
                                          dir_bands, anneal=anneal,
-                                         dist_scale=dscale)
+                                         dist_scale=dscale, pe_w=pw)
                 return (acc[0] + reg / m, acc[1] + lf / m), None
 
             (reg, lf), _ = jax.lax.scan(body, (0.0, 0.0), (chunked, keys))
         else:
             reg, lf = _proposal_loss(params_cf["c"], params_cf["f"], batch,
                                      key, hyper, pos_bands, dir_bands,
-                                     anneal=anneal, dist_scale=dscale)
+                                     anneal=anneal, dist_scale=dscale, pe_w=pw)
         return lf + reg + grid_reg(params_cf), lf
 
     occupancy = hyper.sampling_mode == "occupancy"
@@ -607,23 +663,46 @@ def build_train_step(hyper: TrainHyper, spec: RayBatchSpec, tx,
         key = jax.random.fold_in(base_key, step)
         k_batch, k_loss = jax.random.split(key)
 
-        batch = sample_ray_batch(k_batch, step, scene, spec, plan=plan)
-        batch = shard_batch_constraint(plan, batch)
+        if hyper.pose_opt:
+            # pose refinement: the pixel draw stays outside the grad
+            # closure, ray generation moves INSIDE it so the photometric
+            # gradient reaches the per-frame se3 deltas
+            from nerf_sandbox_tpu.data.sampler import (rays_for_pixels,
+                                                       sample_pixels)
+            pix = sample_pixels(k_batch, step, scene, spec, plan=plan)
+            pix = shard_batch_constraint(plan, pix)
+
+            def batch_of(params_cf):
+                oh = jax.nn.one_hot(pix["frame_ids"], hyper.n_pose_frames,
+                                    dtype=jnp.float32)
+                delta = jnp.matmul(oh, params_cf["f"]["pose_delta"],
+                                   precision=jax.lax.Precision.HIGHEST)
+                rays = rays_for_pixels(scene, spec, pix["frame_ids"],
+                                       pix["xs"], pix["ys"],
+                                       pose_delta=delta)
+                return {"rgb": pix["rgb"], "frame_ids": pix["frame_ids"],
+                        **rays}
+        else:
+            batch = sample_ray_batch(k_batch, step, scene, spec, plan=plan)
+            batch = shard_batch_constraint(plan, batch)
+
+            def batch_of(params_cf):
+                del params_cf
+                return batch
 
         if occupancy:
-            (loss, mse_f), grads = jax.value_and_grad(
-                occ_loss_fn, has_aux=True)(
-                {"c": state.params_c, "f": state.params_f}, batch, k_loss,
-                occ_grid, step)
+            def total_loss(params_cf):
+                return occ_loss_fn(params_cf, batch_of(params_cf), k_loss,
+                                   occ_grid, step)
         elif proposal:
-            (loss, mse_f), grads = jax.value_and_grad(
-                prop_loss_fn, has_aux=True)(
-                {"c": state.params_c, "f": state.params_f}, batch, k_loss,
-                step)
+            def total_loss(params_cf):
+                return prop_loss_fn(params_cf, batch_of(params_cf), k_loss,
+                                    step)
         else:
-            (loss, mse_f), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                {"c": state.params_c, "f": state.params_f}, batch, k_loss,
-                step)
+            def total_loss(params_cf):
+                return loss_fn(params_cf, batch_of(params_cf), k_loss, step)
+        (loss, mse_f), grads = jax.value_and_grad(total_loss, has_aux=True)(
+            {"c": state.params_c, "f": state.params_f})
 
         # Non-finite loss → skip the update, keep counting (trainer.py:713-716).
         finite = jnp.isfinite(loss)

@@ -257,6 +257,25 @@ class Trainer:
             print(f"[app] NeRF-W appearance codes: "
                   f"{len(self.scene_train.frames)} frames x {self.app_dim} "
                   f"(eval code: {mode})")
+        # BARF-style camera refinement (core/pose.py)
+        self.pose_opt = bool(getattr(cfg, "pose_opt", False))
+        self.barf_anneal = int(getattr(cfg, "barf_anneal_steps", 0) or 0)
+        if self.barf_anneal > 0 and (self.pos_encoder != "freq" or self.ipe):
+            print("[cfg] note: --barf_anneal_steps applies to the plain "
+                  "freq positional encoder only; disabled")
+            self.barf_anneal = 0
+        if self.pose_opt:
+            print(f"[pose] BARF-style refinement of "
+                  f"{len(self.scene_train.frames)} train poses "
+                  f"(lr {float(getattr(cfg, 'pose_lr', 1e-3)):g}); "
+                  "validation keeps the dataset's val poses")
+            if self.barf_anneal == 0 and self.pos_encoder == "freq" \
+                    and not self.ipe:
+                print("[pose] hint: --pose_opt without --barf_anneal_steps "
+                      "can diverge from bad initial poses (full-frequency "
+                      "gradients are basin-less; tests/test_pose.py "
+                      "measures it) — try --barf_anneal_steps ~ 20% of "
+                      "max_steps")
         self.enc_cfg = None
         if self.pos_encoder == "hashgrid":
             from nerf_sandbox_tpu.models.hashgrid import HashGridConfig
@@ -461,7 +480,10 @@ class Trainer:
                           if self.pos_encoder == "kplanes" else 0.0),
             app_dim=self.app_dim,
             n_app_frames=len(self.scene_train.frames),
-            dir_encoder=self.dir_encoder, sh_degree=self.sh_degree)
+            dir_encoder=self.dir_encoder, sh_degree=self.sh_degree,
+            pose_opt=self.pose_opt,
+            n_pose_frames=len(self.scene_train.frames),
+            barf_anneal_steps=self.barf_anneal)
         if (float(getattr(cfg, "kp_tv_weight", 0.0) or 0.0) > 0
                 and self.pos_encoder != "kplanes"):
             print("[cfg] note: --kp_tv_weight has no effect without "
@@ -499,7 +521,9 @@ class Trainer:
                                  grad_clip_norm=cfg.grad_clip_norm,
                                  grid_lr=grid_lr,
                                  grid_weight_decay=grid_wd,
-                                 grid_decay_target=grid_wd_target)
+                                 grid_decay_target=grid_wd_target,
+                                 pose_lr=(float(getattr(cfg, "pose_lr", 0.0))
+                                          if self.pose_opt else 0.0))
         self.lr_info = {"lr": cfg.lr, "scheduler": cfg.lr_scheduler,
                         "params": sched_params,
                         "grad_clip_norm": cfg.grad_clip_norm,
