@@ -346,6 +346,14 @@ class Config:
     kp_line_res: int = 512
     kp_line_features: int = 16
     kp_aabb_scale: float = 1.5
+    # >0: DYNAMIC scenes (k-planes 4-D): per scale, three space-time
+    # planes (xt/yt/zt) + a CP time line join the feature product; frames
+    # must carry D-NeRF-style normalized "time" in transforms_*.json.
+    # Time planes init at the multiplicative neutral 1.0 (static until
+    # the data trains motion in). 0 = static 3-D planes.
+    kp_time_res: int = 0
+    # Iso-time for --export_mesh on a dynamic scene (normalized [0,1]).
+    mesh_time: float = 0.0
     # >0: concat a parameter-free L-band freq encoding of the (contracted)
     # box coords to the plane features — the unbounded-scene hybrid
     # (RESULTS.md "Unbounded-360" #5: the enclosing background shell
@@ -591,6 +599,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "checkpoints keep full resolution)")
     g.add_argument("--kp_plane_res", type=str, default=d.kp_plane_res,
                    help="kplanes: comma-separated multiscale plane resolutions")
+    g.add_argument("--kp_time_res", type=int, default=d.kp_time_res,
+                   help="kplanes 4-D time resolution for DYNAMIC scenes "
+                        "(D-NeRF-style per-frame 'time' required); 0=static")
+    g.add_argument("--mesh_time", type=float, default=d.mesh_time,
+                   help="normalized time for --export_mesh on dynamic scenes")
     g.add_argument("--kp_plane_features", type=int, default=d.kp_plane_features)
     g.add_argument("--kp_line_res", type=int, default=d.kp_line_res)
     g.add_argument("--kp_line_features", type=int, default=d.kp_line_features)

@@ -96,8 +96,12 @@ class BlenderSceneLoader:
         if self.scene_scale != 1.0:
             c2ws[:, :3, 3] *= self.scene_scale
 
+        # D-NeRF-format per-frame "time" (dynamic scenes): pass through as
+        # Frame.time; absent = static (None)
+        times = [fr.get("time") for fr in frames_meta]
         frames: List[Frame] = [
-            Frame(image=img, K=K.copy(), c2w=c2w)
-            for img, c2w in zip(images, c2ws)
+            Frame(image=img, K=K.copy(), c2w=c2w,
+                  time=None if t is None else float(t))
+            for img, c2w, t in zip(images, c2ws, times)
         ]
         return Scene(frames=frames, white_bkgd=self.white_bkgd)

@@ -47,6 +47,8 @@ class SceneArrays(NamedTuple):
     images: jnp.ndarray   # (N_pad, H, W, C) uint8
     Ks: jnp.ndarray       # (N, 3, 3) float32
     c2ws: jnp.ndarray     # (N, 3, 4) float32
+    # normalized frame times in [0,1] (dynamic scenes; zeros when static)
+    times: jnp.ndarray | None = None
 
     @property
     def n_frames(self) -> int:
@@ -72,9 +74,16 @@ class SceneArrays(NamedTuple):
         return images, Ks, c2ws
 
     @staticmethod
+    def _times(scene: Scene) -> np.ndarray:
+        return np.asarray([f.time if f.time is not None else 0.0
+                           for f in scene.frames], np.float32)
+
+    @staticmethod
     def from_scene(scene: Scene) -> "SceneArrays":
         images, Ks, c2ws = SceneArrays._stack_numpy(scene)
-        return SceneArrays(jnp.asarray(images), jnp.asarray(Ks), jnp.asarray(c2ws))
+        return SceneArrays(jnp.asarray(images), jnp.asarray(Ks),
+                           jnp.asarray(c2ws),
+                           jnp.asarray(SceneArrays._times(scene)))
 
     @staticmethod
     def from_scene_sharded(scene: Scene, plan) -> "SceneArrays":
@@ -119,8 +128,10 @@ class SceneArrays(NamedTuple):
         Ks = np.stack([np.asarray(f.K, np.float32) for f in frames])
         c2ws = np.stack([f.c2w_3x4() for f in frames])
         rep = NamedSharding(mesh, P())
-        return SceneArrays(imgs, jax.device_put(jnp.asarray(Ks), rep),
-                           jax.device_put(jnp.asarray(c2ws), rep))
+        return SceneArrays(
+            imgs, jax.device_put(jnp.asarray(Ks), rep),
+            jax.device_put(jnp.asarray(c2ws), rep),
+            jax.device_put(jnp.asarray(SceneArrays._times(scene)), rep))
 
 
 class RayBatchSpec(NamedTuple):
@@ -249,14 +260,18 @@ def rays_for_pixels(scene: SceneArrays, spec: RayBatchSpec, fids, xs, ys,
     # slow serialized loads on TPU, while an (B,N)x(N,21) matmul is free at
     # these sizes (N = #frames).
     oh = jax.nn.one_hot(fids, n_frames, dtype=jnp.float32)         # (B, N)
+    times = (scene.times if scene.times is not None
+             else jnp.zeros((n_frames,), jnp.float32))
     cams = jnp.concatenate([scene.Ks.reshape(n_frames, 9),
-                            scene.c2ws.reshape(n_frames, 12)], axis=-1)
+                            scene.c2ws.reshape(n_frames, 12),
+                            times.reshape(n_frames, 1)], axis=-1)
     # HIGHEST: the TPU default would round K/c2w to bf16 (~0.4% on an
     # 1111.1 focal) and misalign every training ray; this matmul is tiny.
     cam_rows = jnp.matmul(oh, cams,
                           precision=jax.lax.Precision.HIGHEST)     # (B, 21)
     Ks = cam_rows[:, :9].reshape(-1, 3, 3)                         # (B, 3, 3)
-    c2ws = cam_rows[:, 9:].reshape(-1, 3, 4)                       # (B, 3, 4)
+    c2ws = cam_rows[:, 9:21].reshape(-1, 3, 4)                     # (B, 3, 4)
+    t = cam_rows[:, 21]                                            # (B,)
     if pose_delta is not None:
         from nerf_sandbox_tpu.core.pose import apply_pose_delta
         c2ws = apply_pose_delta(c2ws, pose_delta)
@@ -281,6 +296,8 @@ def rays_for_pixels(scene: SceneArrays, spec: RayBatchSpec, fids, xs, ys,
         "rays_d_marching_unit": rays.d_march_unit,
         "rays_d_marching_norm": rays.d_march_norm,
         "radii": radii,
+        # per-ray normalized frame time (dynamic scenes; zeros when static)
+        "t": t,
     }
 
 

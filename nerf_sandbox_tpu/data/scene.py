@@ -33,6 +33,9 @@ class Frame:
     mask: Optional[np.ndarray] = None
     dist: Optional[Dict[str, float]] = None
     meta: Dict[str, Union[float, int, str]] = field(default_factory=dict)
+    # normalized capture time in [0, 1] for DYNAMIC scenes (D-NeRF-format
+    # per-frame "time"); None = static frame (treated as t=0)
+    time: Optional[float] = None
 
     @property
     def H(self) -> int:

@@ -58,6 +58,7 @@ def nerf_forward_pass(
     dir_encoder: str = "freq",       # "freq" | "sh" (spherical harmonics)
     sh_degree: int = 4,
     pe_band_weights: jnp.ndarray | None = None,  # (Fp,) BARF anneal weights
+    t: jnp.ndarray | None = None,    # (B,) normalized times (4-D kplanes)
 ):
     """Returns (composite_rgb (B,3), weights (B,N), acc (B,1), depth (B,1))."""
     B, N = z_vals.shape
@@ -117,8 +118,14 @@ def nerf_forward_pass(
         enc_pos = hash_encode(params["pos_grid"], pts.reshape(-1, 3), enc_cfg)
     elif pos_encoder == "kplanes":
         from nerf_sandbox_tpu.models.kplanes import kplanes_encode
+        t01 = None
+        if getattr(enc_cfg, "time_res", 0) > 0:
+            assert t is not None, "4-D kplanes (time_res > 0) needs times"
+            # every sample along a ray shares the ray's frame time
+            t01 = jnp.broadcast_to(t.reshape(B, 1), (B, N)).reshape(-1)
         enc_pos = kplanes_encode(params["pos_grid"], pts.reshape(-1, 3),
-                                 enc_cfg, compute_dtype=compute_dtype)
+                                 enc_cfg, compute_dtype=compute_dtype,
+                                 t01=t01)
     else:
         enc_pos = positional_encoding(pts.reshape(-1, 3), pos_bands,
                                       include_input=pos_include_input,

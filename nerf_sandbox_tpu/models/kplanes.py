@@ -57,6 +57,13 @@ class KPlanesConfig(NamedTuple):
     # "Unbounded-360" finding 5) — the freq channels give the MLP an
     # uncontaminated positional signal to disambiguate with. 0 = off.
     hybrid_freqs: int = 0
+    # >0: DYNAMIC scenes (the k-planes paper's 4-D formulation): each scale
+    # gains three space-time planes (xt, yt, zt) of shape (R, time_res, F)
+    # multiplied into the feature product, plus a CP time line. Time planes
+    # init at the multiplicative neutral 1.0, so a static scene stays
+    # exactly static until the data provides a time gradient. The encoder
+    # then requires per-point normalized times t in [0, 1]. 0 = static.
+    time_res: int = 0
 
     @property
     def out_dim(self) -> int:
@@ -82,6 +89,18 @@ def init_kplanes_params(key: jax.Array, cfg: KPlanesConfig) -> dict:
         params[f"line_{name}"] = 1.0 + 0.1 * jax.random.normal(
             keys[ki], (cfg.line_res, cfg.line_features), jnp.float32)
         ki += 1
+    if cfg.time_res > 0:
+        # space-time planes init EXACTLY 1.0 (not noisy): the k-planes
+        # paper's static-by-default prior — time variation appears only
+        # where the data trains it in (and TV on the t axis keeps it
+        # smooth). Keys derive by fold_in so static checkpoints/streams
+        # are untouched by the feature's existence.
+        for s, R in enumerate(cfg.plane_res):
+            for name in ("xt", "yt", "zt"):
+                params[f"plane{s}_{name}"] = jnp.ones(
+                    (R, cfg.time_res, cfg.plane_features), jnp.float32)
+        params["line_t"] = jnp.ones((cfg.time_res, cfg.line_features),
+                                    jnp.float32)
     return params
 
 
@@ -111,6 +130,15 @@ def resize_kplanes_params(params: dict, cfg: KPlanesConfig,
             new[f"plane{s}_{name}"] = jnp.einsum(
                 "ai,bj,ijf->abf", D, D, P,
                 precision=jax.lax.Precision.HIGHEST)
+        if cfg.time_res > 0:
+            # space-time planes pool their SPATIAL axis only (the t axis
+            # is cheap — the contraction cost is quadratic in R, linear
+            # in time_res)
+            for name in ("xt", "yt", "zt"):
+                P = params[f"plane{s}_{name}"]
+                new[f"plane{s}_{name}"] = jnp.einsum(
+                    "ai,itf->atf", D, P,
+                    precision=jax.lax.Precision.HIGHEST)
     return new, cfg._replace(plane_res=tuple(plane_res))
 
 
@@ -150,20 +178,35 @@ def _interp_weights(u01: jnp.ndarray, R: int) -> jnp.ndarray:
 
 
 def _encode_chunk(params: dict, x01: jnp.ndarray, cfg: KPlanesConfig,
-                  compute_dtype) -> jnp.ndarray:
-    """(Qc, 3) normalized coords → (Qc, out_dim)."""
+                  compute_dtype, t01: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(Qc, 3) normalized coords [+ (Qc,) normalized times] → (Qc, out_dim)."""
     feats = []
+    Wt_planes = None
+    if cfg.time_res > 0:
+        assert t01 is not None, "time_res > 0 needs per-point times"
+        Wt_planes = {
+            R: _interp_weights(t01, cfg.time_res).astype(compute_dtype)
+            for R in set(cfg.plane_res)}          # same rows at every scale
     for s, R in enumerate(cfg.plane_res):
         W = [_interp_weights(x01[:, d], R).astype(compute_dtype)
              for d in range(3)]                                   # 3 x (Qc, R)
         prod = None
-        for name, (da, db) in (("xy", (0, 1)), ("xz", (0, 2)), ("yz", (1, 2))):
+        planes = [("xy", (0, 1)), ("xz", (0, 2)), ("yz", (1, 2))]
+        for name, (da, db) in planes:
             P = params[f"plane{s}_{name}"].astype(compute_dtype)  # (R, R, F)
             # (Qc,R)@(R,R*F) → (Qc,R,F); then per-point row contraction
             A = (W[da] @ P.reshape(R, -1)).reshape(
                 -1, R, cfg.plane_features)
             f = jnp.einsum("qj,qjf->qf", W[db], A)                # (Qc, F)
             prod = f if prod is None else prod * f
+        if cfg.time_res > 0:
+            # k-planes 4-D: the three space-time planes join the product
+            Wt = Wt_planes[R]                                     # (Qc, T)
+            for name, da in (("xt", 0), ("yt", 1), ("zt", 2)):
+                P = params[f"plane{s}_{name}"].astype(compute_dtype)  # (R,T,F)
+                A = (W[da] @ P.reshape(R, -1)).reshape(
+                    -1, cfg.time_res, cfg.plane_features)
+                prod = prod * jnp.einsum("qj,qjf->qf", Wt, A)
         feats.append(prod)
     # CP lines: product of three 1-D interpolations at high resolution
     lw = [_interp_weights(x01[:, d], cfg.line_res).astype(compute_dtype)
@@ -171,14 +214,18 @@ def _encode_chunk(params: dict, x01: jnp.ndarray, cfg: KPlanesConfig,
     line = (lw[0] @ params["line_x"].astype(compute_dtype)) * \
            (lw[1] @ params["line_y"].astype(compute_dtype)) * \
            (lw[2] @ params["line_z"].astype(compute_dtype))       # (Qc, Fl)
+    if cfg.time_res > 0:
+        ltw = _interp_weights(t01, cfg.time_res).astype(compute_dtype)
+        line = line * (ltw @ params["line_t"].astype(compute_dtype))
     feats.append(line)
     return jnp.concatenate(feats, axis=-1).astype(jnp.float32)
 
 
 def kplanes_encode(params: dict, pts_world: jnp.ndarray,
                    cfg: KPlanesConfig,
-                   compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Encode world points (Q, 3) → (Q, out_dim).
+                   compute_dtype=jnp.bfloat16,
+                   t01: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Encode world points (Q, 3) [+ times (Q,) in [0,1]] → (Q, out_dim).
 
     Chunked over Q (lax.map) so the (chunk, R, F) matmul intermediate stays
     small enough to fuse/fit; differentiates cleanly (backward is the
@@ -186,8 +233,20 @@ def kplanes_encode(params: dict, pts_world: jnp.ndarray,
     """
     Q = pts_world.shape[0]
     x01 = jnp.clip(pts_world / (2.0 * cfg.aabb_scale) + 0.5, 0.0, 1.0)
+    if cfg.time_res > 0:
+        assert t01 is not None, "KPlanesConfig.time_res > 0 needs times"
+        t01 = jnp.clip(t01.reshape(Q), 0.0, 1.0)
     if Q <= cfg.chunk:
-        feats = _encode_chunk(params, x01, cfg, compute_dtype)
+        feats = _encode_chunk(params, x01, cfg, compute_dtype, t01=t01)
+    elif cfg.time_res > 0:
+        n_chunks = -(-Q // cfg.chunk)
+        pad = n_chunks * cfg.chunk - Q
+        xp = jnp.pad(x01, ((0, pad), (0, 0))).reshape(n_chunks, cfg.chunk, 3)
+        tp = jnp.pad(t01, (0, pad)).reshape(n_chunks, cfg.chunk)
+        out = jax.lax.map(
+            lambda xt: _encode_chunk(params, xt[0], cfg, compute_dtype,
+                                     t01=xt[1]), (xp, tp))
+        feats = out.reshape(n_chunks * cfg.chunk, -1)[:Q]
     else:
         n_chunks = -(-Q // cfg.chunk)
         pad = n_chunks * cfg.chunk - Q

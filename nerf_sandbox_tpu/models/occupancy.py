@@ -146,7 +146,8 @@ def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig
                            pos_encoder: str = "freq", enc_cfg=None,
                            compute_dtype=jnp.bfloat16, chunk: int = 65536,
                            scene_contraction: bool = False,
-                           dir_encoder: str = "freq", sh_degree: int = 4):
+                           dir_encoder: str = "freq", sh_degree: int = 4,
+                           dyn_times: tuple = ()):
     """→ jitted ``update(grid, params, key) -> grid``.
 
     Queries the model's density at one jittered point per cell and applies
@@ -178,7 +179,7 @@ def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig
             from nerf_sandbox_tpu.core.encoding import scene_uncontract
             pts = scene_uncontract(pts)
 
-        def density(pts_chunk):
+        def density(pts_chunk, t: float | None = None):
             if scene_contraction:
                 # grid cells live in world space; the MODEL's encoder sees
                 # contracted coords (forward.py) — probe the same way
@@ -189,8 +190,11 @@ def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig
                 enc_pos = hash_encode(params["pos_grid"], pts_chunk, enc_cfg)
             elif pos_encoder == "kplanes":
                 from nerf_sandbox_tpu.models.kplanes import kplanes_encode
+                t01 = (None if t is None else
+                       jnp.full((pts_chunk.shape[0],), t, jnp.float32))
                 enc_pos = kplanes_encode(params["pos_grid"], pts_chunk,
-                                         enc_cfg, compute_dtype=compute_dtype)
+                                         enc_cfg, compute_dtype=compute_dtype,
+                                         t01=t01)
             else:
                 enc_pos = positional_encoding(pts_chunk, pos_bands,
                                               include_input=pos_include_input)
@@ -209,16 +213,27 @@ def make_occupancy_updater(model_cfg, pos_bands, dir_bands, cfg: OccupancyConfig
                 return jax.nn.softplus(raw)
             return jax.nn.relu(raw)
 
+        def density_union(pts_chunk):
+            # DYNAMIC scenes (4-D kplanes): the 3-D grid must cover the
+            # UNION of occupancy over time (a moving object must stay
+            # sampleable at every t) — probe a few times and take the max
+            if not dyn_times:
+                return density(pts_chunk)
+            sig = density(pts_chunk, dyn_times[0])
+            for t in dyn_times[1:]:
+                sig = jnp.maximum(sig, density(pts_chunk, t))
+            return sig
+
         n = pts.shape[0]
         if n > chunk:
             # pad to a whole number of chunks so memory stays bounded at
             # any --occ_res (the tail is masked out by the slice below)
             n_pad = (-n) % chunk
             pts_p = jnp.concatenate([pts, jnp.zeros((n_pad, 3), pts.dtype)])
-            sigmas = jax.lax.map(density,
+            sigmas = jax.lax.map(density_union,
                                  pts_p.reshape(-1, chunk, 3)).reshape(-1)[:n]
         else:
-            sigmas = density(pts)
+            sigmas = density_union(pts)
         return jnp.maximum(grid * cfg.decay, sigmas)
 
     return update

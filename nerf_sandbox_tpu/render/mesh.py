@@ -163,7 +163,8 @@ def query_density_grid(params, model_cfg, pos_bands, dir_bands, *, res: int,
                        pos_encoder: str = "freq", enc_cfg=None,
                        compute_dtype=None, scene_contraction: bool = False,
                        dir_encoder: str = "freq", sh_degree: int = 4,
-                       chunk: int = 262144) -> np.ndarray:
+                       chunk: int = 262144,
+                       time: float | None = None) -> np.ndarray:
     """σ at (res³) lattice points over the [lo, hi] box → (res,res,res).
 
     Same encoder/activation path as training (occupancy.py pattern); view
@@ -190,9 +191,13 @@ def query_density_grid(params, model_cfg, pos_bands, dir_bands, *, res: int,
             enc_pos = hash_encode(params["pos_grid"], pts_chunk, enc_cfg)
         elif pos_encoder == "kplanes":
             from nerf_sandbox_tpu.models.kplanes import kplanes_encode
+            t01 = None
+            if getattr(enc_cfg, "time_res", 0) > 0:
+                t01 = jnp.full((pts_chunk.shape[0],),
+                               float(time or 0.0), jnp.float32)
             enc_pos = kplanes_encode(params["pos_grid"], pts_chunk, enc_cfg,
                                      compute_dtype=compute_dtype
-                                     or jnp.float32)
+                                     or jnp.float32, t01=t01)
         else:
             from nerf_sandbox_tpu.core.encoding import positional_encoding
             enc_pos = positional_encoding(pts_chunk, pos_bands,

@@ -159,24 +159,31 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
 
     @jax.jit
     def render_tile(params_c, params_f, rays_o, rays_d_unit, ray_norms,
-                    viewdirs, key, radii=None):
+                    viewdirs, key, radii=None, t=None):
         from nerf_sandbox_tpu.parallel.dist import replicate_outputs_constraint
         out = _render_tile_core(params_c, params_f, rays_o, rays_d_unit,
-                                ray_norms, viewdirs, key, radii)
+                                ray_norms, viewdirs, key, radii, t)
         # multi-process: the host (every process) reads these into PNGs, so
         # they must be fully addressable — one all-gather, no-op otherwise
         return replicate_outputs_constraint(plan, out)
 
     def _render_tile_core(params_c, params_f, rays_o, rays_d_unit, ray_norms,
-                          viewdirs, key, radii=None):
+                          viewdirs, key, radii=None, t=None):
         T = rays_o.shape[0]
         (rays_o, rays_d_unit, ray_norms, viewdirs) = shard_batch_constraint(
             plan, (rays_o, rays_d_unit, ray_norms, viewdirs))
         if hyper.ipe:
             assert radii is not None, "EvalHyper.ipe needs per-ray radii"
             (radii,) = shard_batch_constraint(plan, (radii,))
+        dynamic = getattr(hyper.enc_cfg, "time_res", 0) > 0 \
+            and hyper.pos_encoder == "kplanes"
+        if dynamic:
+            assert t is not None, "4-D kplanes eval needs per-ray times"
+            (t,) = shard_batch_constraint(plan, (t,))
+        else:
+            t = None
 
-        def forward_rays(params, ro, rd, rn, vd, z, rad=None):
+        def forward_rays(params, ro, rd, rn, vd, z, rad=None, tt=None):
             if hyper.use_pallas:
                 return fused_fwd(params, ro, rd, rn, vd, z)
             return nerf_forward_pass(
@@ -192,11 +199,11 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
                 compute_dtype=jnp.dtype(hyper.compute_dtype),
                 pos_encoder=hyper.pos_encoder, enc_cfg=hyper.enc_cfg,
                 scene_contraction=hyper.scene_contraction,
-                ipe=hyper.ipe, radii=rad)
+                ipe=hyper.ipe, radii=rad, t=tt)
 
         def forward(params, z):
             return forward_rays(params, rays_o, rays_d_unit, ray_norms,
-                                viewdirs, z, radii)
+                                viewdirs, z, radii, t)
 
         if hyper.sampling_mode == "occupancy":
             from nerf_sandbox_tpu.models.occupancy import ray_probe_weights
@@ -227,7 +234,8 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
                 comp_s, _, acc_s, depth_s = forward_rays(
                     params_f, rays_o[top], rays_d_unit[top],
                     ray_norms[top], viewdirs[top], z,
-                    radii[top] if hyper.ipe else None)
+                    radii[top] if hyper.ipe else None,
+                    t[top] if t is not None else None)
                 bg = 1.0 if hyper.white_bkgd else 0.0
                 comp = jnp.full((T, 3), bg, comp_s.dtype).at[top].set(comp_s)
                 acc = jnp.zeros((T, 1), acc_s.dtype).at[top].set(acc_s)
@@ -297,7 +305,8 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
             z_all = merge_z_samples(z_s, zf)
             comp_s, _, acc_s, depth_s = forward_rays(
                 params_f, ro_s, rd_s, rn_s, vd_s, z_all,
-                radii[top] if hyper.ipe else None)
+                radii[top] if hyper.ipe else None,
+                t[top] if t is not None else None)
             comp_f = comp_c.at[top].set(comp_s)
             acc_f = acc_c.at[top].set(acc_s)
             depth_f = depth_c.at[top].set(depth_s)
@@ -314,7 +323,7 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
 
 def render_rays_chunked(render_tile, params_c, params_f, rays_o, rays_d_unit,
                         ray_norms, viewdirs, *, eval_chunk: int = 16384,
-                        key=None, radii=None) -> dict:
+                        key=None, radii=None, t=None) -> dict:
     """Render an arbitrary number of rays by padding into fixed tiles."""
     n = rays_o.shape[0]
     tile = min(int(eval_chunk), n) if eval_chunk else n
@@ -334,6 +343,7 @@ def render_rays_chunked(render_tile, params_c, params_f, rays_o, rays_d_unit,
     rn = pad(ray_norms.reshape(n, 1))
     vd = pad(viewdirs)
     ra = pad(radii.reshape(n, 1)) if radii is not None else None
+    tt = pad(t.reshape(n)) if t is not None else None
 
     outs = {"rgb": [], "acc": [], "depth": []}
     for i in range(0, n + n_pad, tile):
@@ -341,7 +351,8 @@ def render_rays_chunked(render_tile, params_c, params_f, rays_o, rays_d_unit,
         rgb, acc, depth = render_tile(
             params_c, params_f, ro[i:i + tile], rd[i:i + tile],
             rn[i:i + tile], vd[i:i + tile], sub,
-            ra[i:i + tile] if ra is not None else None)
+            ra[i:i + tile] if ra is not None else None,
+            tt[i:i + tile] if tt is not None else None)
         outs["rgb"].append(rgb)
         outs["acc"].append(acc)
         outs["depth"].append(depth)
@@ -352,11 +363,13 @@ def render_rays_chunked(render_tile, params_c, params_f, rays_o, rays_d_unit,
 def render_pose(render_tile, params_c, params_f, c2w, H: int, W: int, K, *,
                 eval_chunk: int = 16384, use_ndc: bool = False,
                 convention: str = "opengl", near_plane: float = 1.0,
-                key=None) -> dict:
+                key=None, time: float | None = None) -> dict:
     """Render one camera pose → {rgb (H,W,3), acc (H,W,1), depth (H,W,1)}.
 
     WORLD rays feed the MLP's view-direction branch; marching rays are NDC
-    when requested (render_utils.py:426-527 semantics).
+    when requested (render_utils.py:426-527 semantics). ``time``: the
+    frame's normalized capture time (dynamic 4-D kplanes renderers; ignored
+    by static tile renderers).
     """
     K = jnp.asarray(np.asarray(K, np.float32))
     c2w = jnp.asarray(np.asarray(c2w, np.float32))
@@ -371,10 +384,14 @@ def render_pose(render_tile, params_c, params_f, c2w, H: int, W: int, K, *,
     if not use_ndc:
         from nerf_sandbox_tpu.core.encoding import pixel_cone_radii
         radii = pixel_cone_radii(K[0, 0], rays.d_world_norm[..., 0])
+    t = None
+    if time is not None:
+        t = jnp.full((rays.o_march.shape[0],), float(time), jnp.float32)
     out = render_rays_chunked(render_tile, params_c, params_f,
                               rays.o_march, rays.d_march_unit,
                               rays.d_march_norm, rays.d_world_unit,
-                              eval_chunk=eval_chunk, key=key, radii=radii)
+                              eval_chunk=eval_chunk, key=key, radii=radii,
+                              t=t)
     return {
         "rgb": np.asarray(out["rgb"]).reshape(H, W, 3),
         "acc": np.asarray(out["acc"]).reshape(H, W, 1),

@@ -178,6 +178,11 @@ class ValidationRenderer:
         self.eval_chunk = int(eval_chunk)
         self.snap_multiple = int(snap_multiple)
         self.cancel = cancel_flag_getter or (lambda: False)
+        # dynamic scene (4-D kplanes): frame renders pass Frame.time, and
+        # path videos sweep t linearly 0->1 across the path (the D-NeRF
+        # novel-time video). Set by the trainer via ``dynamic=True``.
+        self._dynamic = bool(getattr(cfg, "kp_time_res", 0) or 0) and \
+            str(getattr(cfg, "encoder", "")) == "kplanes"
 
         # progress-video plan state
         self._prog_active = False
@@ -219,19 +224,33 @@ class ValidationRenderer:
         n = len(self.scene.frames)
         return sorted({max(0, min(i, n - 1)) for i in idxs})
 
+    def _path_time(self, i: int):
+        """Dynamic path videos sweep time 0->1 across the camera path (the
+        D-NeRF novel-time+novel-view video); static renders ignore it."""
+        if not self._dynamic:
+            return None
+        n = max(1, self._prog_total_frames - 1)
+        return min(1.0, max(0.0, i / n))
+
     def _depth_to_unit(self, depth: np.ndarray) -> np.ndarray:
         if self.use_ndc:
             return np.clip(depth, 0.0, 1.0)
         return np.clip((depth - self.near_world)
                        / (self.far_world - self.near_world + 1e-8), 0.0, 1.0)
 
-    def _render_pose(self, params_c, params_f, c2w, H, W, K) -> dict:
+    def _render_pose(self, params_c, params_f, c2w, H, W, K,
+                     time=None) -> dict:
+        # dynamic (4-D kplanes) tile renderers require a time; static ones
+        # ignore it. Frames without a recorded time render at t=0.
+        if time is None and self._dynamic:
+            time = 0.0
         return render_pose(
             self.render_tile, params_c, params_f, c2w, H, W, K,
             eval_chunk=self.eval_chunk, use_ndc=self.use_ndc,
             convention=self.convention,
             near_plane=(self.ndc_near_plane_world if self.use_ndc
-                        else self.near_world))
+                        else self.near_world),
+            time=time if self._dynamic else None)
 
     def _gt_for_frame(self, fid: int, target_hw, *, use_mask: bool):
         """(gt_rgb, mask) resized to target, both [0,1] float
@@ -293,7 +312,8 @@ class ValidationRenderer:
             fr = self.scene.frames[fid]
             H, W, K = scale_hwk(fr.H, fr.W, np.asarray(fr.K, np.float32),
                                 float(res_scale))
-            res = self._render_pose(params_c, params_f, fr.c2w, H, W, K)
+            res = self._render_pose(params_c, params_f, fr.c2w, H, W, K,
+                                    time=fr.time)
 
             root = self.out_dir / f"val_idx{fid:04d}"
             name = f"step_{int(step):07d}.png"
@@ -351,7 +371,8 @@ class ValidationRenderer:
             fr = self.scene.frames[fid]
             H, W, K = scale_hwk(fr.H, fr.W, np.asarray(fr.K, np.float32),
                                 float(res_scale))
-            res = self._render_pose(params_c, params_f, fr.c2w, H, W, K)
+            res = self._render_pose(params_c, params_f, fr.c2w, H, W, K,
+                                    time=fr.time)
             out += self._save_triplet(
                 (self.out_dir, self.out_dir, self.out_dir),
                 (f"val_idx{fid:04d}.png", f"val_idx{fid:04d}_opacity.png",
@@ -429,7 +450,8 @@ class ValidationRenderer:
             if p_rgb.exists():
                 continue    # resume idempotency
             res = self._render_pose(params_c, params_f, self._prog_poses[i],
-                                    self._prog_H, self._prog_W, self._prog_K)
+                                    self._prog_H, self._prog_W, self._prog_K,
+                                    time=self._path_time(i))
             self._save_triplet(
                 (self._prog_frames_dir / "rgb", self._prog_frames_dir / "opacity",
                  self._prog_frames_dir / "depth"),
@@ -515,7 +537,8 @@ class ValidationRenderer:
                 print("[CAMERA PATH] cancelled by signal")
                 break
             res = self._render_pose(params_c, params_f, c2w, self._prog_H,
-                                    self._prog_W, self._prog_K)
+                                    self._prog_W, self._prog_K,
+                                    time=self._path_time(i))
             self._save_triplet(
                 (frames_dir / "rgb", frames_dir / "opacity", frames_dir / "depth"),
                 (f"rgb_frame_{i:05d}.png", f"opacity_frame_{i:05d}.png",

@@ -353,7 +353,7 @@ def _occupancy_loss(params_f, occ_grid, batch, key, hyper: TrainHyper,
         viewdirs_world_unit=batch["rays_d_world_unit"],
         sigma_activation=hyper.sigma_activation,
         dir_encoder=hyper.dir_encoder, sh_degree=hyper.sh_degree,
-        pe_band_weights=pe_w,
+        pe_band_weights=pe_w, t=batch.get("t"),
         raw_noise_std=hyper.raw_noise_std, noise_key=k_noise,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
@@ -410,7 +410,7 @@ def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
         viewdirs_world_unit=batch["rays_d_world_unit"],
         sigma_activation=hyper.sigma_activation,
         dir_encoder=hyper.dir_encoder, sh_degree=hyper.sh_degree,
-        pe_band_weights=pe_w,
+        pe_band_weights=pe_w, t=batch.get("t"),
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
         scene_contraction=hyper.scene_contraction,
@@ -432,7 +432,7 @@ def _proposal_loss(params_p, params_f, batch, key, hyper: TrainHyper,
         viewdirs_world_unit=batch["rays_d_world_unit"],
         sigma_activation=hyper.sigma_activation,
         dir_encoder=hyper.dir_encoder, sh_degree=hyper.sh_degree,
-        pe_band_weights=pe_w,
+        pe_band_weights=pe_w, t=batch.get("t"),
         raw_noise_std=hyper.raw_noise_std, noise_key=k_noise,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),
@@ -476,7 +476,7 @@ def _coarse_fine_losses(params_c, params_f, batch, key, hyper: TrainHyper,
         viewdirs_world_unit=batch["rays_d_world_unit"],
         sigma_activation=hyper.sigma_activation,
         dir_encoder=hyper.dir_encoder, sh_degree=hyper.sh_degree,
-        pe_band_weights=pe_w,
+        pe_band_weights=pe_w, t=batch.get("t"),
         raw_noise_std=hyper.raw_noise_std,
         infinite_last_bin=hyper.infinite_last_bin,
         compute_dtype=jnp.dtype(hyper.compute_dtype),

@@ -302,13 +302,29 @@ class Trainer:
                 print("[cfg] scene_contraction: kp_aabb_scale raised to "
                       "2.0 (contracted coords span the radius-2 ball)")
                 aabb = 2.0
+            time_res = int(getattr(cfg, "kp_time_res", 0) or 0)
+            if time_res > 0:
+                times = [f.time for f in self.scene_train.frames]
+                n_timed = sum(t is not None for t in times)
+                if n_timed == 0:
+                    print("[cfg] WARNING: --kp_time_res set but no frame in "
+                          "the dataset carries a 'time' field — every ray "
+                          "trains at t=0 and the time axis stays untrained. "
+                          "Use a D-NeRF-format dataset (per-frame "
+                          "normalized time in transforms_*.json).")
+                else:
+                    print(f"[dyn] 4-D kplanes: time_res={time_res}, "
+                          f"{n_timed}/{len(times)} frames carry times "
+                          f"(range {min(t for t in times if t is not None):.3f}"
+                          f"..{max(t for t in times if t is not None):.3f})")
             self.enc_cfg = KPlanesConfig(
                 plane_res=tuple(int(r) for r in
                                 str(cfg.kp_plane_res).split(",") if r),
                 plane_features=cfg.kp_plane_features,
                 line_res=cfg.kp_line_res, line_features=cfg.kp_line_features,
                 aabb_scale=aabb,
-                hybrid_freqs=int(getattr(cfg, "kp_hybrid_freqs", 0) or 0))
+                hybrid_freqs=int(getattr(cfg, "kp_hybrid_freqs", 0) or 0),
+                time_res=time_res)
             enc_pos_dim = self.enc_cfg.out_dim
         else:
             enc_pos_dim = encoder_out_dim(3, cfg.pos_num_freqs,
@@ -326,6 +342,12 @@ class Trainer:
         else:
             enc_dir_dim = encoder_out_dim(3, cfg.dir_num_freqs,
                                           cfg.dir_include_input)
+        if (int(getattr(cfg, "kp_time_res", 0) or 0) > 0
+                and self.pos_encoder != "kplanes"):
+            print("[cfg] note: --kp_time_res has no effect without "
+                  "--encoder kplanes")
+        self.dynamic = (self.pos_encoder == "kplanes"
+                        and int(getattr(cfg, "kp_time_res", 0) or 0) > 0)
         self.model_cfg = NeRFConfig(
             enc_pos_dim=enc_pos_dim, enc_dir_dim=enc_dir_dim,
             n_layers=cfg.n_layers, hidden_dim=cfg.hidden_dim,
@@ -566,7 +588,10 @@ class Trainer:
                 pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
                 compute_dtype=jnp.dtype(cfg.compute_dtype),
                 scene_contraction=self.scene_contraction,
-                dir_encoder=self.dir_encoder, sh_degree=self.sh_degree)
+                dir_encoder=self.dir_encoder, sh_degree=self.sh_degree,
+                # dynamic scenes: grid = union of occupancy over time
+                dyn_times=(0.0, 0.25, 0.5, 0.75, 1.0) if self.dynamic
+                else ())
 
         # ---- eval renderer ----
         # kplanes eval-only plane pooling (--eval_kp_pool): the plane
@@ -952,7 +977,9 @@ class Trainer:
             dir_include_input=cfg.dir_include_input,
             pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
             compute_dtype=ct, scene_contraction=self.scene_contraction,
-            dir_encoder=self.dir_encoder, sh_degree=self.sh_degree)
+            dir_encoder=self.dir_encoder, sh_degree=self.sh_degree,
+            time=(float(getattr(cfg, "mesh_time", 0.0) or 0.0)
+                  if self.dynamic else None))
         verts, faces = marching_tetrahedra(grid, float(cfg.mesh_thr), lo, hi)
         path = self.out_dir / "mesh" / f"mesh_step_{step:07d}.obj"
         export_obj(path, verts, faces)

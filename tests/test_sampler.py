@@ -12,7 +12,7 @@ from nerf_sandbox_tpu.data.scene import Frame, Scene
 
 BATCH_KEYS = {"rgb", "rays_o_world", "rays_d_world_unit", "rays_d_world_norm",
               "rays_o_marching", "rays_d_marching_unit", "rays_d_marching_norm",
-              "radii", "frame_ids"}
+              "radii", "frame_ids", "t"}
 
 
 def _tiny_scene(n=3, H=8, W=8, rgba=False):
@@ -47,6 +47,8 @@ def test_batch_schema_and_shapes():
     assert batch["radii"].shape == (B,)
     assert batch["frame_ids"].shape == (B,)
     assert batch["frame_ids"].dtype == jnp.int32
+    assert batch["t"].shape == (B,)
+    np.testing.assert_array_equal(np.asarray(batch["t"]), 0.0)  # static
     # radii = (2/sqrt(12))/fx / ||d||: positive, pixel-scale
     r = np.asarray(batch["radii"]) * np.asarray(batch["rays_d_world_norm"])[:, 0]
     np.testing.assert_allclose(r, 2 / np.sqrt(12) / 10.0, rtol=1e-5)
