@@ -148,6 +148,7 @@ class Config:
     # Validation rendering
     val_every: Optional[int] = None
     val_indices: Optional[str] = None
+    val_split: str = "auto"
     num_val_steps: Optional[int] = None
     eval_chunk: int = 16384
     val_res_scale: float = 1.0
@@ -461,6 +462,11 @@ def build_argparser() -> argparse.ArgumentParser:
     g = p.add_argument_group("validation")
     g.add_argument("--val_every", type=int, default=None)
     g.add_argument("--val_indices", type=str, default=None)
+    g.add_argument("--val_split", choices=("auto", "train", "val", "test"),
+                   default=d.val_split,
+                   help="which split validation/eval renders against; "
+                        "'auto' = val, falling back to test then train "
+                        "(the reference's fallback, trainer.py:219-226)")
     g.add_argument("--num_val_steps", type=int, default=None)
     g.add_argument("--eval_chunk", type=int, default=d.eval_chunk)
     g.add_argument("--val_res_scale", type=float, default=d.val_res_scale)

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
 
+import json
+
 import numpy as np
 
 from nerf_sandbox_tpu.render.path_poses import generate_path_poses
@@ -359,6 +361,71 @@ class ValidationRenderer:
             self.tb.add_scalar("val/psnr_mean", metrics["psnr_mean"], int(step))
             self.tb.add_scalar("val/ssim_mean", metrics["ssim_mean"], int(step))
         return paths, metrics
+
+    def evaluate_split(self, params_c, params_f, *, indices=None,
+                       res_scale: float = 1.0, split_name: str = "val",
+                       use_mask="auto", save_images: bool = True) -> dict:
+        """Full held-out-split evaluation: render every frame (or
+        ``indices``), save un-tagged triplets, and write ``metrics.json``
+        with per-frame + mean PSNR/SSIM.
+
+        Beyond-reference capability (the reference only renders scheduled
+        val indices during training, validation_renderer.py:394-542, and a
+        camera-path video via --render_only); this is the standard
+        paper-table evaluation pass (`nerf-tpu-eval`).
+        """
+        if indices is None:
+            idxs = list(range(len(self.scene.frames)))
+        else:
+            idxs = self._resolve_frame_indices(indices)
+        if isinstance(use_mask, bool):
+            mask_primary = use_mask
+        else:
+            mask_primary = not bool(getattr(self.cfg, "white_bkgd", True))
+
+        frames = []
+        for fid in idxs:
+            fr = self.scene.frames[fid]
+            H, W, K = scale_hwk(fr.H, fr.W, np.asarray(fr.K, np.float32),
+                                float(res_scale))
+            res = self._render_pose(params_c, params_f, fr.c2w, H, W, K,
+                                    time=fr.time)
+            if save_images:
+                name = f"frame_{fid:04d}.png"
+                self._save_triplet(
+                    (self.out_dir / "rgb", self.out_dir / "opacity",
+                     self.out_dir / "depth"), (name, name, name), res)
+            gt, mask = self._gt_for_frame(fid, (H, W), use_mask=True)
+            psnr_um = compute_psnr(res["rgb"], gt, None)
+            psnr_m = (compute_psnr(res["rgb"], gt, mask)
+                      if mask is not None else None)
+            m = mask if (mask_primary and mask is not None) else None
+            rec = {"index": fid,
+                   "file_path": (fr.meta or {}).get("file_path"),
+                   "psnr": psnr_m if (mask_primary and psnr_m is not None)
+                           else psnr_um,
+                   "psnr_masked": psnr_m, "psnr_unmasked": psnr_um,
+                   "ssim": compute_ssim(res["rgb"], gt, m)}
+            if fr.time is not None:
+                rec["time"] = float(fr.time)
+            frames.append(rec)
+            print(f"[EVAL] {split_name}[{fid}] psnr={rec['psnr']:.2f} "
+                  f"ssim={rec['ssim']:.4f}")
+
+        metrics = {
+            "split": split_name,
+            "n_frames": len(frames),
+            "res_scale": float(res_scale),
+            "masked_primary": bool(mask_primary),
+            "psnr_mean": (float(np.mean([f["psnr"] for f in frames]))
+                          if frames else None),
+            "ssim_mean": (float(np.mean([f["ssim"] for f in frames]))
+                          if frames else None),
+            "frames": frames,
+        }
+        (self.out_dir / "metrics.json").write_text(
+            json.dumps(metrics, indent=2))
+        return metrics
 
     def render_selected_frames(self, params_c, params_f, frame_indices=None,
                                filenames=None, *, res_scale: float = 1.0,

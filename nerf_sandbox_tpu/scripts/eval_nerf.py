@@ -1,0 +1,95 @@
+"""Held-out-split evaluation CLI (`nerf-tpu-eval`).
+
+Beyond-reference entry point: the torch reference evaluates only the
+scheduled validation indices during training and a camera-path video via
+``--render_only`` (train_nerf.py:410-417); there is no "render the whole
+test split and report the paper-table numbers" pass. This adds one:
+
+    python -m nerf_sandbox_tpu.scripts.eval_nerf \
+        --data_root /path/to/lego --out_dir ./exp/lego_vanilla \
+        --split test [--indices 0,5,12] [--res_scale 1.0] \
+        [any trainer flags the run was trained with...]
+
+Loads the run's latest checkpoint, renders every frame of the requested
+split at full resolution through the normal eval path (same renderer and
+PSNR/SSIM definitions as training-time validation), saves rgb/opacity/
+depth triplets under ``<out_dir>/eval_<split>/`` and writes
+``metrics.json`` (per-frame + mean PSNR/SSIM). Prints the metrics dict as
+one JSON line on stdout. Extra trainer flags (encoder family, sampling
+mode, eval knobs like ``--eval_chunk``) are passed through exactly like
+scripts/eval_psnr.py does.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="Evaluate a trained run on a held-out split.")
+    ap.add_argument("--data_root", required=True)
+    ap.add_argument("--out_dir", required=True,
+                    help="the training run dir (contains checkpoints/)")
+    ap.add_argument("--data_kind", default="auto")
+    ap.add_argument("--split", default="test",
+                    choices=("train", "val", "test"))
+    ap.add_argument("--indices", default="all",
+                    help="'all' or comma list of frame indices")
+    ap.add_argument("--res_scale", type=float, default=1.0)
+    ap.add_argument("--eval_out", default=None,
+                    help="output dir (default <out_dir>/eval_<split>)")
+    ap.add_argument("--no_images", action="store_true",
+                    help="metrics only, skip PNG triplets")
+    args, extra = ap.parse_known_args(argv)
+
+    from nerf_sandbox_tpu.config import (apply_path_defaults,
+                                         build_argparser, make_cfg_from_args)
+
+    kind = args.data_kind
+    if kind == "auto":
+        kind = "llff" if (Path(args.data_root) / "poses_bounds.npy").exists() \
+            else "blender"
+    trainer_argv = ["--data_root", args.data_root, "--out_dir", args.out_dir,
+                    "--data_kind", kind, "--val_split", args.split, *extra]
+    cfg = make_cfg_from_args(build_argparser().parse_args(trainer_argv))
+    cfg = apply_path_defaults(cfg, kind)
+
+    from nerf_sandbox_tpu.render.validation import ValidationRenderer
+    from nerf_sandbox_tpu.train.trainer import Trainer
+
+    tr = Trainer(cfg)
+    step = tr.load_latest_checkpoint(load_optim=False)
+    if (tr.sampling_mode == "occupancy"
+            and not getattr(tr, "_occ_grid_restored", False)):
+        tr._rebuild_occupancy(step)          # grid-less (old-format) ckpt
+
+    eval_out = Path(args.eval_out) if args.eval_out \
+        else Path(args.out_dir) / f"eval_{args.split}"
+    valr = ValidationRenderer(
+        scene_val=tr.scene_val, out_dir=eval_out,
+        render_tile=tr.render_tile, cfg=cfg,
+        near_world=tr.near_world, far_world=tr.far_world,
+        use_ndc=tr.use_ndc, ndc_near_plane_world=tr.ndc_near_plane_world,
+        convention=tr.camera_convention, tb_logger=None,
+        eval_chunk=int(cfg.eval_chunk))
+
+    indices = None if args.indices.strip().lower() == "all" else \
+        [int(i) for i in args.indices.split(",") if i != ""]
+    pc, pf = tr.eval_params()
+    metrics = valr.evaluate_split(pc, pf, indices=indices,
+                                  res_scale=args.res_scale,
+                                  split_name=args.split,
+                                  save_images=not args.no_images)
+    metrics["step"] = int(step)
+    metrics["out_dir"] = str(eval_out)
+    (eval_out / "metrics.json").write_text(json.dumps(metrics, indent=2))
+    print(json.dumps({k: v for k, v in metrics.items() if k != "frames"}))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

@@ -161,16 +161,25 @@ class Trainer:
                 return i in _owned(n)
 
         self.scene_train = self.loader.load("train", image_filter=img_filter)
-        try:
-            self.scene_val = self.loader.load("val")
-        except FileNotFoundError:
+        val_split = str(getattr(cfg, "val_split", "auto") or "auto").lower()
+        if val_split != "auto":
+            # explicit split (--val_split): no fallback — a typo'd or
+            # missing split should fail loudly, not silently validate on
+            # train frames
+            self.scene_val = (self.scene_train if (val_split == "train"
+                              and not img_filter)
+                              else self.loader.load(val_split))
+        else:
             try:
-                self.scene_val = self.loader.load("test")
+                self.scene_val = self.loader.load("val")
             except FileNotFoundError:
-                # filtered train frames have zero images — reload unfiltered
-                # for validation GT
-                self.scene_val = (self.loader.load("train")
-                                  if img_filter else self.scene_train)
+                try:
+                    self.scene_val = self.loader.load("test")
+                except FileNotFoundError:
+                    # filtered train frames have zero images — reload
+                    # unfiltered for validation GT
+                    self.scene_val = (self.loader.load("train")
+                                      if img_filter else self.scene_train)
         if len(self.scene_val) == 0:
             self.scene_val = self.scene_train
 

@@ -39,6 +39,7 @@ setup(
         "console_scripts": [
             "nerf-tpu-train=nerf_sandbox_tpu.scripts.train_nerf:main",
             "nerf-tpu-compare=nerf_sandbox_tpu.scripts.compare_with_reference:main",
+            "nerf-tpu-eval=nerf_sandbox_tpu.scripts.eval_nerf:main",
         ],
     },
 )

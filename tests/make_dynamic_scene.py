@@ -12,11 +12,16 @@ k-planes regime, ``--encoder kplanes --kp_time_res N``).
 from __future__ import annotations
 
 import json
+import sys
 from pathlib import Path
 
 import numpy as np
 
-from tests.make_sphere_scene import LIGHT_DIR, look_at_pose
+try:
+    from tests.make_sphere_scene import LIGHT_DIR, look_at_pose
+except ModuleNotFoundError:   # invoked as a script: python tests/make_...
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from make_sphere_scene import LIGHT_DIR, look_at_pose
 
 
 def spheres_at(t: float):

@@ -1,0 +1,152 @@
+"""Held-out-split evaluation (`nerf-tpu-eval`) + --val_split selection.
+
+Beyond-reference capability: a paper-table evaluation pass over a whole
+split (the reference only renders scheduled val indices during training,
+validation_renderer.py:394-542). Contracts pinned here:
+
+* --val_split explicitly selects the validation scene; a missing split
+  fails loudly (no silent train fallback);
+* eval_nerf renders every frame of the requested split from the latest
+  checkpoint, writes metrics.json with per-frame + mean PSNR/SSIM, and
+  saves triplets (or skips them under --no_images);
+* scripts/perturb_poses.py jitters exactly the requested splits.
+"""
+
+import importlib.util
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.test_loaders import _make_blender, _write_png
+
+
+def _add_split(root: Path, split: str, n_frames: int, size: int = 16):
+    (root / split).mkdir(exist_ok=True)
+    meta = json.loads((root / "transforms_train.json").read_text())
+    rng = np.random.RandomState(hash(split) % 2**31)
+    frames = []
+    for i in range(n_frames):
+        img = rng.randint(0, 255, (size, size, 3), dtype=np.uint8)
+        _write_png(root / split / f"r_{i}.png", img)
+        c2w = np.eye(4)
+        c2w[:3, 3] = [0.5 + i, 0.3, 4.0]
+        frames.append({"file_path": f"./{split}/r_{i}",
+                       "transform_matrix": c2w.tolist()})
+    (root / f"transforms_{split}.json").write_text(
+        json.dumps({"camera_angle_x": meta["camera_angle_x"],
+                    "frames": frames}))
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    root = _make_blender(tmp_path_factory.mktemp("data") / "scene",
+                         n_frames=3, size=16)
+    _add_split(root, "test", 2)
+    out = tmp_path_factory.mktemp("exp")
+    from nerf_sandbox_tpu.scripts.train_nerf import main
+    main(["--data_root", str(root), "--out_dir", str(out),
+          "--data_kind", "blender", "--max_steps", "8",
+          "--rays_per_batch", "32", "--nc", "4", "--nf", "8",
+          "--n_layers", "2", "--hidden_dim", "32", "--skip_pos", "1",
+          "--num_val_steps", "1", "--ckpt_every", "8", "--log_every", "8",
+          "--progress_frames", "0", "--eval_chunk", "128"])
+    return root, out
+
+
+def test_eval_nerf_writes_metrics_and_triplets(trained_run):
+    root, out = trained_run
+    from nerf_sandbox_tpu.scripts.eval_nerf import main as eval_main
+    eval_main(["--data_root", str(root), "--out_dir", str(out),
+               "--split", "test",
+               "--rays_per_batch", "32", "--nc", "4", "--nf", "8",
+               "--n_layers", "2", "--hidden_dim", "32", "--skip_pos", "1",
+               "--eval_chunk", "128"])
+    mpath = out / "eval_test" / "metrics.json"
+    assert mpath.exists()
+    m = json.loads(mpath.read_text())
+    assert m["split"] == "test" and m["n_frames"] == 2
+    assert m["step"] == 8
+    assert np.isfinite(m["psnr_mean"]) and np.isfinite(m["ssim_mean"])
+    assert len(m["frames"]) == 2
+    assert all(np.isfinite(f["psnr"]) for f in m["frames"])
+    for sub in ("rgb", "opacity", "depth"):
+        assert sorted((out / "eval_test" / sub).glob("frame_*.png")), sub
+
+
+def test_eval_nerf_no_images_and_indices(trained_run):
+    root, out = trained_run
+    from nerf_sandbox_tpu.scripts.eval_nerf import main as eval_main
+    eval_main(["--data_root", str(root), "--out_dir", str(out),
+               "--split", "train", "--indices", "1", "--no_images",
+               "--eval_out", str(out / "eval_tr"),
+               "--rays_per_batch", "32", "--nc", "4", "--nf", "8",
+               "--n_layers", "2", "--hidden_dim", "32", "--skip_pos", "1",
+               "--eval_chunk", "128"])
+    m = json.loads((out / "eval_tr" / "metrics.json").read_text())
+    assert m["n_frames"] == 1 and m["frames"][0]["index"] == 1
+    assert not (out / "eval_tr" / "rgb").exists()
+
+
+def test_val_split_explicit_selection_and_loud_failure(tmp_path):
+    root = _make_blender(tmp_path / "scene", n_frames=3, size=8)
+    _add_split(root, "test", 2, size=8)
+    from nerf_sandbox_tpu.config import (apply_path_defaults,
+                                         build_argparser, make_cfg_from_args)
+    from nerf_sandbox_tpu.train.trainer import Trainer
+    base = ["--data_root", str(root), "--data_kind", "blender",
+            "--rays_per_batch", "16", "--nc", "4", "--nf", "4",
+            "--n_layers", "2", "--hidden_dim", "16", "--skip_pos", "1"]
+
+    def mk(split, out):
+        argv = base + ["--out_dir", str(tmp_path / out),
+                       "--val_split", split]
+        return apply_path_defaults(
+            make_cfg_from_args(build_argparser().parse_args(argv)),
+            "blender")
+
+    # auto: no val split on disk -> falls back to test (2 frames)
+    assert len(Trainer(mk("auto", "a")).scene_val) == 2
+    # explicit train: validates on the 3 train frames despite test existing
+    assert len(Trainer(mk("train", "b")).scene_val) == 3
+    # explicit val: missing on disk -> loud failure, no fallback
+    with pytest.raises(FileNotFoundError):
+        Trainer(mk("val", "c"))
+
+
+def test_perturb_poses_jitters_only_requested_split(tmp_path):
+    root = _make_blender(tmp_path / "scene", n_frames=3, size=8)
+    _add_split(root, "val", 2, size=8)
+    spec = importlib.util.spec_from_file_location(
+        "perturb_poses",
+        Path(__file__).resolve().parent.parent / "scripts/perturb_poses.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import sys
+    dst = tmp_path / "jit"
+    old = sys.argv
+    sys.argv = ["perturb_poses", str(root), str(dst),
+                "--rot_deg", "3.0", "--trans", "0.1", "--splits", "train"]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    src_tr = json.loads((root / "transforms_train.json").read_text())
+    dst_tr = json.loads((dst / "transforms_train.json").read_text())
+    deltas = [np.abs(np.asarray(a["transform_matrix"])
+                     - np.asarray(b["transform_matrix"])).max()
+              for a, b in zip(src_tr["frames"], dst_tr["frames"])]
+    assert all(d > 1e-3 for d in deltas), "train poses should be jittered"
+    # rotation part stays orthonormal
+    R = np.asarray(dst_tr["frames"][0]["transform_matrix"])[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-8)
+    # val split untouched
+    src_v = json.loads((root / "transforms_val.json").read_text())
+    dst_v = json.loads((dst / "transforms_val.json").read_text())
+    for a, b in zip(src_v["frames"], dst_v["frames"]):
+        np.testing.assert_array_equal(a["transform_matrix"],
+                                      b["transform_matrix"])
+    # images reachable in the copy (symlink or copy)
+    from nerf_sandbox_tpu.data.blender_loader import BlenderSceneLoader
+    assert len(BlenderSceneLoader(dst).load("train")) == 3
