@@ -364,7 +364,10 @@ class ValidationRenderer:
 
     def evaluate_split(self, params_c, params_f, *, indices=None,
                        res_scale: float = 1.0, split_name: str = "val",
-                       use_mask="auto", save_images: bool = True) -> dict:
+                       use_mask="auto", save_images: bool = True,
+                       pose_refiner=None, refine_steps: int = 0,
+                       refine_lr: float = 5e-3,
+                       refine_rays: int = 1024) -> dict:
         """Full held-out-split evaluation: render every frame (or
         ``indices``), save un-tagged triplets, and write ``metrics.json``
         with per-frame + mean PSNR/SSIM.
@@ -373,6 +376,11 @@ class ValidationRenderer:
         val indices during training, validation_renderer.py:394-542, and a
         camera-path video via --render_only); this is the standard
         paper-table evaluation pass (`nerf-tpu-eval`).
+
+        ``pose_refiner`` + ``refine_steps`` enable the BARF test-time pose
+        alignment (render/pose_refine.py): each camera's se3 delta is
+        optimized against the frozen fine model before rendering, so
+        --pose_opt runs are scored on reconstruction, not gauge drift.
         """
         if indices is None:
             idxs = list(range(len(self.scene.frames)))
@@ -388,7 +396,21 @@ class ValidationRenderer:
             fr = self.scene.frames[fid]
             H, W, K = scale_hwk(fr.H, fr.W, np.asarray(fr.K, np.float32),
                                 float(res_scale))
-            res = self._render_pose(params_c, params_f, fr.c2w, H, W, K,
+            c2w, refine_info = fr.c2w, None
+            if pose_refiner is not None and refine_steps > 0:
+                gt_r, _ = self._gt_for_frame(fid, (H, W), use_mask=False)
+                c2w, refine_info = pose_refiner(
+                    params_f, c2w, K, H, W, gt_r,
+                    use_ndc=self.use_ndc, convention=self.convention,
+                    near_plane=(self.ndc_near_plane_world if self.use_ndc
+                                else self.near_world),
+                    steps=int(refine_steps), lr=float(refine_lr),
+                    rays=int(refine_rays), seed=fid,
+                    time=float(fr.time or 0.0))
+                print(f"[EVAL] {split_name}[{fid}] pose refined: "
+                      f"mse {refine_info['mse_init']:.5f} -> "
+                      f"{refine_info['mse_final']:.5f}")
+            res = self._render_pose(params_c, params_f, c2w, H, W, K,
                                     time=fr.time)
             if save_images:
                 name = f"frame_{fid:04d}.png"
@@ -408,6 +430,11 @@ class ValidationRenderer:
                    "ssim": compute_ssim(res["rgb"], gt, m)}
             if fr.time is not None:
                 rec["time"] = float(fr.time)
+            if refine_info is not None:
+                rec["pose_refine"] = {
+                    "delta_norm": float(np.linalg.norm(refine_info["delta"])),
+                    "mse_init": refine_info["mse_init"],
+                    "mse_final": refine_info["mse_final"]}
             frames.append(rec)
             print(f"[EVAL] {split_name}[{fid}] psnr={rec['psnr']:.2f} "
                   f"ssim={rec['ssim']:.4f}")

@@ -43,6 +43,13 @@ def main(argv=None):
                     help="output dir (default <out_dir>/eval_<split>)")
     ap.add_argument("--no_images", action="store_true",
                     help="metrics only, skip PNG triplets")
+    ap.add_argument("--refine_pose", type=int, default=0, metavar="STEPS",
+                    help="BARF test-time pose alignment: optimize each "
+                         "eval camera's se3 delta against the frozen model "
+                         "for STEPS Adam steps before scoring (the "
+                         "evaluation protocol for --pose_opt runs)")
+    ap.add_argument("--refine_pose_lr", type=float, default=5e-3)
+    ap.add_argument("--refine_pose_rays", type=int, default=1024)
     args, extra = ap.parse_known_args(argv)
 
     from nerf_sandbox_tpu.config import (apply_path_defaults,
@@ -78,11 +85,20 @@ def main(argv=None):
 
     indices = None if args.indices.strip().lower() == "all" else \
         [int(i) for i in args.indices.split(",") if i != ""]
+    refiner = None
+    if args.refine_pose > 0:
+        from nerf_sandbox_tpu.render.pose_refine import make_pose_refiner
+        refiner = make_pose_refiner(tr.eval_hyper, tr.pos_bands,
+                                    tr.dir_bands)
     pc, pf = tr.eval_params()
     metrics = valr.evaluate_split(pc, pf, indices=indices,
                                   res_scale=args.res_scale,
                                   split_name=args.split,
-                                  save_images=not args.no_images)
+                                  save_images=not args.no_images,
+                                  pose_refiner=refiner,
+                                  refine_steps=args.refine_pose,
+                                  refine_lr=args.refine_pose_lr,
+                                  refine_rays=args.refine_pose_rays)
     metrics["step"] = int(step)
     metrics["out_dir"] = str(eval_out)
     (eval_out / "metrics.json").write_text(json.dumps(metrics, indent=2))

@@ -53,5 +53,6 @@ run dyn_t16    "$DYN" $KP --kp_time_res 16
 run pose_clean "$TEX"
 run pose_jit   "$JIT"
 run pose_opt   "$JIT" --pose_opt true --barf_anneal_steps 600
+run pose_opt_nb "$JIT" --pose_opt true
 
 echo DP_ALL_DONE
