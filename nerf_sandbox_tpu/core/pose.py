@@ -58,3 +58,28 @@ def apply_pose_delta(c2w: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
     R = R_d @ c2w[..., :3, :3]
     t = (R_d @ c2w[..., :3, 3:])[..., 0] + delta[..., 3:]
     return jnp.concatenate([R, t[..., None]], axis=-1)
+
+
+def apply_cam_delta(c2w: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Camera-CENTERED pose perturbation: rotate the orientation in place
+    and translate the camera center: ``[exp([w]x) @ R | t + dt]``.
+
+    Same (..., 3, 4) × (..., 6) → (..., 3, 4) contract as
+    ``apply_pose_delta`` but a different chart. The world-frame left
+    composition above rotates the camera position about the WORLD origin,
+    so correcting a pure orientation error of angle θ needs a
+    compensating translation of ‖t‖·θ — for a camera 4 units out, a 3°
+    error needs ‖dt‖ ≈ 0.2, far outside the "delta is small" regime, and
+    the photometric rotate↔translate gauge valley is maximally coupled in
+    that chart. In THIS chart orientation and position decouple: a small
+    orientation jitter is a small ``w`` with dt ≈ 0, which is what
+    test-time refinement (render/pose_refine.py) descends — measured on
+    the sphere-scene recovery test, the world-frame chart diverges
+    (pose moves 2.5-7× further from truth while the loss drops) and this
+    chart recovers at both 3° and 5° jitter. Training-time --pose_opt
+    keeps the world-frame chart (it co-trains with the field, so gauge
+    is free and parity with BARF's parameterization matters there).
+    """
+    R = so3_exp(delta[..., :3]) @ c2w[..., :3, :3]
+    t = c2w[..., :3, 3] + delta[..., 3:]
+    return jnp.concatenate([R, t[..., None]], axis=-1)

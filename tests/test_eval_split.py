@@ -89,14 +89,14 @@ def test_eval_nerf_no_images_and_indices(trained_run):
     assert not (out / "eval_tr" / "rgb").exists()
 
 
-def test_pose_refiner_recovers_jitter_against_frozen_model(tmp_path):
-    """BARF test-time alignment on a REAL 3-D scene: train briefly on the
-    sphere scene, render gt from the model at the TRUE val pose, start
-    refinement from a jittered pose — the pose must move back toward the
-    truth and the photometric loss must drop."""
+@pytest.fixture(scope="module")
+def sphere_refine_setup(tmp_path_factory):
+    """Train ONCE on the sphere scene; share the frozen model + the
+    model-rendered gt at the true val pose across both jitter tests."""
+    tmp = tmp_path_factory.mktemp("pose_refine")
     from tests.make_sphere_scene import make_scene
-    root = make_scene(tmp_path / "spheres", views=8, size=32, val_views=1)
-    out = tmp_path / "exp"
+    root = make_scene(tmp / "spheres", views=8, size=32, val_views=1)
+    out = tmp / "exp"
     from nerf_sandbox_tpu.scripts.train_nerf import main
     # --mesh_devices 1: dodge the 8-virtual-device CPU all-reduce
     # rendezvous 40 s timeout on this 1-core host (XLA aborts the process
@@ -125,15 +125,19 @@ def test_pose_refiner_recovers_jitter_against_frozen_model(tmp_path):
     fr = tr.scene_val.frames[0]
     gt = tr.valr._render_pose(pc, pf, fr.c2w, fr.H, fr.W,
                               np.asarray(fr.K, np.float32))["rgb"]
+    refiner = make_pose_refiner(tr.eval_hyper, tr.pos_bands, tr.dir_bands)
+    return tr, cfg, pf, fr, gt, refiner
 
-    rot = np.deg2rad(3.0)
+
+def _jitter_and_refine(sphere_refine_setup, rot_deg, dt):
+    tr, cfg, pf, fr, gt, refiner = sphere_refine_setup
+    rot = np.deg2rad(rot_deg)
     R = np.array([[np.cos(rot), -np.sin(rot), 0],
                   [np.sin(rot), np.cos(rot), 0], [0, 0, 1]], np.float32)
     c2w_bad = np.asarray(fr.c2w, np.float32).copy()[:3, :4]
     c2w_bad[:3, :3] = R @ c2w_bad[:3, :3]
-    c2w_bad[:3, 3] += [0.04, -0.02, 0.02]
+    c2w_bad[:3, 3] += dt
 
-    refiner = make_pose_refiner(tr.eval_hyper, tr.pos_bands, tr.dir_bands)
     c2w_ref, info = refiner(pf, c2w_bad, fr.K, fr.H, fr.W, gt,
                             use_ndc=False, convention=cfg.camera_convention,
                             near_plane=tr.near_world, steps=120, lr=5e-3,
@@ -144,6 +148,20 @@ def test_pose_refiner_recovers_jitter_against_frozen_model(tmp_path):
     d_bad = np.abs(c2w_bad - np.asarray(fr.c2w, np.float32)[:3, :4]).max()
     d_ref = np.abs(c2w_ref - np.asarray(fr.c2w, np.float32)[:3, :4]).max()
     assert d_ref < d_bad, (d_ref, d_bad)
+
+
+def test_pose_refiner_recovers_jitter_against_frozen_model(
+        sphere_refine_setup):
+    """BARF test-time alignment on a REAL 3-D scene: render gt from the
+    frozen model at the TRUE val pose, start refinement from a jittered
+    pose — the pose must move back toward the truth and the photometric
+    loss must drop."""
+    _jitter_and_refine(sphere_refine_setup, 3.0, [0.04, -0.02, 0.02])
+
+
+def test_pose_refiner_recovers_harder_jitter(sphere_refine_setup):
+    """Harder variant: 5° orientation error + 2× the translation."""
+    _jitter_and_refine(sphere_refine_setup, 5.0, [0.06, -0.04, 0.03])
 
 
 def test_eval_nerf_refine_pose_cli(trained_run):
