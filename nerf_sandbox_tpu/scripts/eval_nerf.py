@@ -8,21 +8,31 @@ test split and report the paper-table numbers" pass. This adds one:
     python -m nerf_sandbox_tpu.scripts.eval_nerf \
         --data_root /path/to/lego --out_dir ./exp/lego_vanilla \
         --split test [--indices 0,5,12] [--res_scale 1.0] \
-        [any trainer flags the run was trained with...]
+        [trainer-flag overrides...]
 
-Loads the run's latest checkpoint, renders every frame of the requested
-split at full resolution through the normal eval path (same renderer and
-PSNR/SSIM definitions as training-time validation), saves rgb/opacity/
-depth triplets under ``<out_dir>/eval_<split>/`` and writes
-``metrics.json`` (per-frame + mean PSNR/SSIM). Prints the metrics dict as
-one JSON line on stdout. Extra trainer flags (encoder family, sampling
-mode, eval knobs like ``--eval_chunk``) are passed through exactly like
-scripts/eval_psnr.py does.
+Loads the run's latest checkpoint and — new in round 4 — restores the
+run's SAVED training configuration from the checkpoint's config echo, so
+the architecture/encoder/sampling flags the run was trained with apply
+automatically; any trainer flag passed on the eval command line overrides
+the saved value (for eval-time knobs like ``--eval_chunk``). A run with
+no checkpoint fails loudly (exit 2) instead of silently scoring random
+weights. Renders every frame of the requested split through the normal
+eval path (same renderer and PSNR/SSIM definitions as training-time
+validation), saves rgb/opacity/depth triplets under
+``<out_dir>/eval_<split>/`` and writes ``metrics.json`` (per-frame + mean
+PSNR/SSIM). Prints the metrics dict as one JSON line on stdout.
+
+Side-artifact hygiene: the Trainer is constructed ``eval_only`` (no
+run_debug.json rewrite, no TB logdir) and the occupancy+kplanes eval-tile
+compiler-bug clamp is inherited from the trainer (``_eval_chunk_init``)
+rather than re-deriving raw ``cfg.eval_chunk`` — the flagship fast config
+would otherwise crash on TPU at the default tile (ADVICE r3).
 """
 
 from __future__ import annotations
 
 import json
+import sys
 from pathlib import Path
 
 
@@ -43,6 +53,9 @@ def main(argv=None):
                     help="output dir (default <out_dir>/eval_<split>)")
     ap.add_argument("--no_images", action="store_true",
                     help="metrics only, skip PNG triplets")
+    ap.add_argument("--no_saved_cfg", action="store_true",
+                    help="ignore the checkpoint's saved config (flags-only "
+                         "reconstruction, the pre-round-4 behavior)")
     ap.add_argument("--refine_pose", type=int, default=0, metavar="STEPS",
                     help="BARF test-time pose alignment: optimize each "
                          "eval camera's se3 delta against the frozen model "
@@ -54,20 +67,45 @@ def main(argv=None):
 
     from nerf_sandbox_tpu.config import (apply_path_defaults,
                                          build_argparser, make_cfg_from_args)
+    from nerf_sandbox_tpu.train import checkpoints as ckpt
+
+    # ---- fail loudly before any device work if there is nothing to score
+    peek = ckpt.peek_checkpoint_meta(args.out_dir)
+    if peek is None:
+        print(f"[EVAL] ERROR: no checkpoint found under {args.out_dir} — "
+              "refusing to evaluate randomly-initialized params",
+              file=sys.stderr)
+        sys.exit(2)
+    saved_step, saved_cfg = peek
 
     kind = args.data_kind
     if kind == "auto":
-        kind = "llff" if (Path(args.data_root) / "poses_bounds.npy").exists() \
-            else "blender"
+        kind = saved_cfg.get("data_kind") if not args.no_saved_cfg else None
+        if not kind or str(kind).lower() == "auto":
+            kind = "llff" if (Path(args.data_root)
+                              / "poses_bounds.npy").exists() else "blender"
     trainer_argv = ["--data_root", args.data_root, "--out_dir", args.out_dir,
-                    "--data_kind", kind, "--val_split", args.split, *extra]
-    cfg = make_cfg_from_args(build_argparser().parse_args(trainer_argv))
+                    "--data_kind", str(kind), "--val_split", args.split,
+                    *extra]
+    tr_ap = build_argparser()
+    if not args.no_saved_cfg and saved_cfg:
+        # restore the run's trained config as the DEFAULT layer: explicit
+        # eval-time flags (in trainer_argv) still win, and the eval-CLI's
+        # own paths/splits are always explicit above
+        dests = {a.dest for a in tr_ap._actions}
+        restored = {k: v for k, v in saved_cfg.items()
+                    if k in dests and k not in
+                    ("data_root", "out_dir", "val_split", "resume")}
+        tr_ap.set_defaults(**restored)
+        print(f"[EVAL] restored {len(restored)} config fields from the "
+              f"step-{saved_step} checkpoint (pass --no_saved_cfg to skip)")
+    cfg = make_cfg_from_args(tr_ap.parse_args(trainer_argv))
     cfg = apply_path_defaults(cfg, kind)
 
     from nerf_sandbox_tpu.render.validation import ValidationRenderer
     from nerf_sandbox_tpu.train.trainer import Trainer
 
-    tr = Trainer(cfg)
+    tr = Trainer(cfg, eval_only=True)
     step = tr.load_latest_checkpoint(load_optim=False)
     if (tr.sampling_mode == "occupancy"
             and not getattr(tr, "_occ_grid_restored", False)):
@@ -81,7 +119,7 @@ def main(argv=None):
         near_world=tr.near_world, far_world=tr.far_world,
         use_ndc=tr.use_ndc, ndc_near_plane_world=tr.ndc_near_plane_world,
         convention=tr.camera_convention, tb_logger=None,
-        eval_chunk=int(cfg.eval_chunk))
+        eval_chunk=tr._eval_chunk_init)
 
     indices = None if args.indices.strip().lower() == "all" else \
         [int(i) for i in args.indices.split(",") if i != ""]
@@ -107,5 +145,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    import sys
     sys.exit(main())

@@ -238,6 +238,43 @@ def step_of_path(p) -> int:
     return int(m.group(1)) if m else -1
 
 
+def peek_checkpoint_meta(out_dir) -> Optional[tuple]:
+    """Latest checkpoint's ``(step, saved-cfg dict)`` for a run dir, WITHOUT
+    constructing a Trainer or loading model arrays.
+
+    Looks at both backends: npz checkpoints (two-dir discovery, tagged
+    signal saves included — reads just the ``__meta__`` member of the zip)
+    and the orbax ``cfg_<step>.json`` config echoes; returns whichever is
+    newer, or None when the run has no checkpoint at all. Lets eval-time
+    tooling (scripts/eval_nerf.py) restore the run's trained configuration
+    instead of requiring every architecture flag to be re-passed.
+    """
+    out_dir = Path(out_dir)
+    best = None  # (step, cfg_dict)
+
+    npz = find_latest_checkpoint(out_dir / "checkpoints", out_dir)
+    if npz is not None:
+        try:
+            with np.load(npz, allow_pickle=False) as z:
+                meta = json.loads(bytes(z["__meta__"]).decode())
+            best = (int(meta.get("step", step_of_path(npz))),
+                    dict(meta.get("cfg", {})))
+        except Exception as e:
+            print(f"[CKPT] could not read meta from {npz}: {e}")
+
+    metas = sorted((out_dir / "checkpoints").glob("cfg_*.json"),
+                   key=lambda p: int(p.stem.split("_")[-1]))
+    if metas:
+        try:
+            meta = json.loads(metas[-1].read_text())
+            step = int(meta.get("step", -1))
+            if best is None or step > best[0]:
+                best = (step, dict(meta.get("cfg", {})))
+        except Exception as e:
+            print(f"[CKPT] could not read {metas[-1]}: {e}")
+    return best
+
+
 def find_latest_checkpoint(ckpt_dir, out_dir=None) -> Optional[Path]:
     candidates = []
     for d in filter(None, [ckpt_dir, out_dir]):

@@ -58,9 +58,15 @@ def _fmt_eta(seconds: float) -> str:
 
 
 class Trainer:
-    def __init__(self, cfg: Config) -> None:
+    def __init__(self, cfg: Config, *, eval_only: bool = False) -> None:
+        """``eval_only``: constructed for inference over an existing run's
+        out_dir (scripts/eval_nerf.py) — skip the side artifacts a TRAINING
+        run owns (run_debug.json dump, TensorBoard logdir) so evaluating a
+        run never rewrites its training-time artifacts with eval-time
+        config."""
         from nerf_sandbox_tpu.parallel import dist
         self.cfg = cfg
+        self.eval_only = bool(eval_only)
         self.out_dir = Path(cfg.out_dir)
         # Multi-process: checkpoints/TB come from process 0 only; non-main
         # processes still render collectively (a mesh-wide program must be
@@ -656,7 +662,7 @@ class Trainer:
         self.signals = SignalController()
         install_signal_handlers(self.signals)
         self.tb_logger = TensorBoardLogger(
-            enabled=cfg.use_tb and self.is_main,
+            enabled=cfg.use_tb and self.is_main and not self.eval_only,
             logdir=cfg.tb_logdir or str(self.out_dir / "tb"),
             image_max_side=cfg.tb_image_max_side)
 
@@ -710,6 +716,8 @@ class Trainer:
                                       frames_subdir="training_progress")
 
         # ---- startup debug dump ----
+        if self.eval_only:
+            return          # inference: don't rewrite the run's debug dump
         try:
             dump_run_debug(
                 self.out_dir, cfg=cfg, scene=self.scene_train,

@@ -38,7 +38,7 @@ def main():
             "--data_kind", args.data_kind, *extra]
     cfg = make_cfg_from_args(build_argparser().parse_args(argv))
     cfg = apply_path_defaults(cfg, args.data_kind)
-    tr = Trainer(cfg)
+    tr = Trainer(cfg, eval_only=True)
     step = tr.load_latest_checkpoint(load_optim=False)
     if (tr.sampling_mode == "occupancy"
             and not getattr(tr, "_occ_grid_restored", False)):

@@ -150,6 +150,46 @@ def _jitter_and_refine(sphere_refine_setup, rot_deg, dt):
     assert d_ref < d_bad, (d_ref, d_bad)
 
 
+def test_eval_nerf_restores_saved_config(trained_run):
+    """No architecture flags on the eval command line: the checkpoint's
+    config echo supplies them (ADVICE r3 low). Metrics must match the
+    flags-passed eval exactly (same model, same renderer)."""
+    root, out = trained_run
+    from nerf_sandbox_tpu.scripts.eval_nerf import main as eval_main
+    eval_main(["--data_root", str(root), "--out_dir", str(out),
+               "--split", "test", "--no_images",
+               "--eval_out", str(out / "eval_nocfg")])
+    m = json.loads((out / "eval_nocfg" / "metrics.json").read_text())
+    ref = json.loads((out / "eval_test" / "metrics.json").read_text())
+    assert m["step"] == ref["step"] == 8
+    assert np.isclose(m["psnr_mean"], ref["psnr_mean"], atol=1e-5), \
+        (m["psnr_mean"], ref["psnr_mean"])
+
+
+def test_eval_nerf_fails_loudly_without_checkpoint(tmp_path):
+    """Never silently score randomly-initialized params (ADVICE r3)."""
+    root = _make_blender(tmp_path / "scene", n_frames=2, size=8)
+    from nerf_sandbox_tpu.scripts.eval_nerf import main as eval_main
+    with pytest.raises(SystemExit) as ei:
+        eval_main(["--data_root", str(root),
+                   "--out_dir", str(tmp_path / "no_such_run"),
+                   "--split", "train"])
+    assert ei.value.code == 2
+
+
+def test_eval_nerf_preserves_run_artifacts(trained_run):
+    """eval_only Trainer: evaluating must not rewrite the training run's
+    run_debug.json (ADVICE r3 low)."""
+    root, out = trained_run
+    dbg = out / "run_debug.json"
+    before = dbg.read_text()
+    from nerf_sandbox_tpu.scripts.eval_nerf import main as eval_main
+    eval_main(["--data_root", str(root), "--out_dir", str(out),
+               "--split", "train", "--indices", "0", "--no_images",
+               "--eval_out", str(out / "eval_art")])
+    assert dbg.read_text() == before
+
+
 def test_pose_refiner_recovers_jitter_against_frozen_model(
         sphere_refine_setup):
     """BARF test-time alignment on a REAL 3-D scene: render gt from the
@@ -162,6 +202,25 @@ def test_pose_refiner_recovers_jitter_against_frozen_model(
 def test_pose_refiner_recovers_harder_jitter(sphere_refine_setup):
     """Harder variant: 5° orientation error + 2× the translation."""
     _jitter_and_refine(sphere_refine_setup, 5.0, [0.06, -0.04, 0.03])
+
+
+def test_eval_cli_matches_training_validation(sphere_refine_setup):
+    """VERDICT r3 weak#6: pin the eval CLI against training-time
+    validation on a REAL trained model (250 steps, full 3-D scene), not
+    a toy 16×16 contract — the two share the render core but take
+    different paths (evaluate_split vs render_indices_at_step)."""
+    tr, cfg, pf, fr, gt, refiner = sphere_refine_setup
+    pc, pf2 = tr.eval_params()
+    _, val_metrics = tr.valr.render_indices_at_step(
+        250, [0], pc, pf2, use_mask="auto")
+    from nerf_sandbox_tpu.scripts.eval_nerf import main as eval_main
+    out = Path(cfg.out_dir)
+    eval_main(["--data_root", cfg.data_root, "--out_dir", str(out),
+               "--split", "val", "--indices", "0", "--no_images",
+               "--eval_out", str(out / "eval_pin")])
+    m = json.loads((out / "eval_pin" / "metrics.json").read_text())
+    assert np.isclose(m["frames"][0]["psnr"], val_metrics["psnr_mean"],
+                      atol=0.05), (m["frames"][0]["psnr"], val_metrics)
 
 
 def test_eval_nerf_refine_pose_cli(trained_run):
