@@ -84,7 +84,7 @@ def _kernel(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
             w_sf, b_sf, wc1, bc1, wc2, bc2,
             out_ray, out_wt, state, *, skip_pos: int, n_layers: int,
             hidden: int, softplus_sigma: bool, white_bkgd: bool,
-            n_chunks: int, n_rays: int, log_eps):
+            n_chunks: int, n_rays: int, log_eps, contract: bool):
     f32 = jnp.float32
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -119,14 +119,14 @@ def _kernel(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
                 w0, b0, w_mid, b_mid, wskip_h, wskip_e, bskip,
                 w_sf, b_sf, wc1, bc1, wc2, bc2, out_wt, state,
                 skip_pos=skip_pos, n_layers=n_layers, hidden=hidden,
-                softplus_sigma=softplus_sigma)
+                softplus_sigma=softplus_sigma, contract=contract)
     else:
         _kernel_chunk_body(
             geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
             w0, b0, w_mid, b_mid, wskip_h, wskip_e, bskip,
             w_sf, b_sf, wc1, bc1, wc2, bc2, out_wt, state,
             skip_pos=skip_pos, n_layers=n_layers, hidden=hidden,
-            softplus_sigma=softplus_sigma)
+            softplus_sigma=softplus_sigma, contract=contract)
 
     @pl.when(j == n_chunks - 1)
     def _():
@@ -143,7 +143,7 @@ def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
                        w0, b0, w_mid, b_mid, wskip_h, wskip_e, bskip,
                        w_sf, b_sf, wc1, bc1, wc2, bc2,
                        out_wt, state, *, skip_pos: int, n_layers: int,
-                       hidden: int, softplus_sigma: bool):
+                       hidden: int, softplus_sigma: bool, contract: bool):
     f32 = jnp.float32
     Q = TILE_R * CHUNK_N
 
@@ -173,6 +173,15 @@ def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
 
     zm_q = z_q * g_q[:, 6:7]                               # z * ||d||
     pts3 = g_q[:, 0:3] + g_q[:, 3:6] * zm_q                # (Q, 3) f32
+
+    if contract:
+        # mip-NeRF 360 scene contraction (core/encoding.py scene_contract,
+        # eq. 10): elementwise VPU map on marching points, branchless —
+        # identical math to the XLA eval path (z/dt stay metric; only the
+        # encoder sees warped coordinates).
+        n = jnp.sqrt(jnp.sum(pts3 * pts3, axis=1, keepdims=True))
+        n = jnp.maximum(n, 1e-9)
+        pts3 = jnp.where(n <= 1.0, pts3, (2.0 - 1.0 / n) * (pts3 / n))
 
     # ---- positional encode (f32 args; bf16 features) ----
     args = jnp.dot(pts3, Bmat[:], preferred_element_type=f32)    # (Q, EP_PAD)
@@ -251,6 +260,7 @@ def fused_raymarch(params, cfg: NeRFConfig, rays_o, rays_d_unit, z_vals,
                    pos_include_input: bool = True,
                    sigma_activation: str = "relu", white_bkgd: bool = True,
                    infinite_last_bin: bool = True, ert_eps: float = 0.0,
+                   scene_contraction: bool = False,
                    interpret: bool = False):
     """Fused eval forward → (comp (B,3), weights (B,N), acc (B,1), depth (B,1)).
 
@@ -302,7 +312,8 @@ def fused_raymarch(params, cfg: NeRFConfig, rays_o, rays_d_unit, z_vals,
         hidden=cfg.hidden_dim,
         softplus_sigma=(sigma_activation == "softplus"),
         white_bkgd=white_bkgd, n_chunks=n_chunks, n_rays=B,
-        log_eps=(float(np.log(ert_eps)) if ert_eps > 0.0 else None))
+        log_eps=(float(np.log(ert_eps)) if ert_eps > 0.0 else None),
+        contract=bool(scene_contraction))
 
     out_ray_t, out_wt = pl.pallas_call(
         kernel,

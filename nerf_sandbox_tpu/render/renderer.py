@@ -77,8 +77,8 @@ class EvalHyper(NamedTuple):
     prop_model: object = None         # NeRFConfig of the proposal MLP
     n_prop_eval: int = 64
     # mip-NeRF 360 contraction of encoder inputs (must match training;
-    # the fused Pallas kernel has no contraction path — the trainer forces
-    # the XLA eval branch when this is on)
+    # implemented in BOTH eval paths — the fused Pallas kernel applies the
+    # same branchless warp to its marching points)
     scene_contraction: bool = False
     # disparity-linear coarse/proposal sample spacing (must match training)
     lindisp: bool = False
@@ -117,6 +117,7 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
             white_bkgd=hyper.white_bkgd,
             infinite_last_bin=hyper.infinite_last_bin,
             ert_eps=hyper.eval_ert_eps,
+            scene_contraction=hyper.scene_contraction,
             interpret=hyper.pallas_interpret)
 
     if plan.mesh is not None:

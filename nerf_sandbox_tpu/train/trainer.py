@@ -816,10 +816,9 @@ class Trainer:
                     and fusable(self.model_cfg)
                     and self.pos_encoder == "freq"
                     and data_only
-                    # the kernel encodes raw marching points — it has no
-                    # contraction warp, so contracted scenes use XLA eval
-                    and not self.scene_contraction
-                    # ... and no IPE branch (Gaussian encode is XLA-only)
+                    # (scene contraction IS fused — an elementwise warp on
+                    # marching points inside the kernel since round 4)
+                    # ... but no IPE branch (Gaussian encode is XLA-only)
                     and not self.ipe
                     # the kernel's matmuls are bf16 by design; an explicit
                     # --compute_dtype float32 must get true-fp32 XLA eval

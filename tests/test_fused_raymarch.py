@@ -32,6 +32,7 @@ def _oracle(params, o, d, norms, z, pos_b, dir_b, **kw):
         ray_norms=norms, viewdirs_world_unit=d,
         sigma_activation=kw.get("sigma_activation", "relu"),
         infinite_last_bin=kw.get("infinite_last_bin", True),
+        scene_contraction=kw.get("scene_contraction", False),
         compute_dtype=jnp.bfloat16)
 
 
@@ -65,6 +66,30 @@ def test_fused_raymarch_options():
                                    atol=2e-2, err_msg=str(kw))
         np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want[2]),
                                    atol=2e-2, err_msg=str(kw))
+
+
+def test_fused_raymarch_scene_contraction():
+    """In-kernel mip-NeRF 360 contraction == the XLA eval path with
+    scene_contraction=True (VERDICT r3 #3). Marching geometry that
+    straddles the unit ball so BOTH warp branches are exercised: rays
+    from inside the ball out to radius ~7."""
+    pos_b, dir_b = vanilla_encoders()
+    params = init_nerf_params(jax.random.PRNGKey(2), CFG)
+    o, d, norms, z = _rays(b=37, n=21, seed=9)   # z in [2,6] -> r up to ~7
+    want = _oracle(params, o, d, norms, z, pos_b, dir_b,
+                   scene_contraction=True)
+    enc_dir = positional_encoding(d, jnp.asarray(dir_b))
+    got = fused_raymarch(params, CFG, o, d, z, norms, enc_dir, pos_b,
+                         scene_contraction=True, interpret=True)
+    for g, w, name, tol in zip(got, want, ["comp", "w", "acc", "depth"],
+                               [2e-2, 2e-2, 2e-2, 0.1]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=tol,
+                                   err_msg=name)
+    # the warp must actually change the result (guard against a silently
+    # ignored flag): same inputs, contraction off
+    off = fused_raymarch(params, CFG, o, d, z, norms, enc_dir, pos_b,
+                         interpret=True)
+    assert np.abs(np.asarray(got[0]) - np.asarray(off[0])).max() > 1e-3
 
 
 def test_fused_raymarch_padding_independence():
