@@ -355,6 +355,13 @@ class Config:
     kp_time_res: int = 0
     # Iso-time for --export_mesh on a dynamic scene (normalized [0,1]).
     mesh_time: float = 0.0
+    # >1: --export_mesh writes K OBJs swept over t = linspace(0,1,K)
+    # (time-lapse geometry for D-NeRF data); 0/1 = single --mesh_time OBJ.
+    mesh_time_sweep: int = 0
+    # Dynamic occupancy: the grid is the UNION of density probed at this
+    # many times in [0,1] (static scenes ignore it). More probes = tighter
+    # union for fast motion at linearly more update cost.
+    occ_time_probes: int = 5
     # >0: concat a parameter-free L-band freq encoding of the (contracted)
     # box coords to the plane features — the unbounded-scene hybrid
     # (RESULTS.md "Unbounded-360" #5: the enclosing background shell
@@ -610,6 +617,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(D-NeRF-style per-frame 'time' required); 0=static")
     g.add_argument("--mesh_time", type=float, default=d.mesh_time,
                    help="normalized time for --export_mesh on dynamic scenes")
+    g.add_argument("--mesh_time_sweep", type=int, default=d.mesh_time_sweep,
+                   help="dynamic scenes: export this many --export_mesh "
+                        "OBJs swept over t=linspace(0,1,K) (0/1 = single "
+                        "--mesh_time export)")
+    g.add_argument("--occ_time_probes", type=int, default=d.occ_time_probes,
+                   help="dynamic occupancy: number of times in [0,1] whose "
+                        "density UNION fills the grid (default 5)")
     g.add_argument("--kp_plane_features", type=int, default=d.kp_plane_features)
     g.add_argument("--kp_line_res", type=int, default=d.kp_line_res)
     g.add_argument("--kp_line_features", type=int, default=d.kp_line_features)

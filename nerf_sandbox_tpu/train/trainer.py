@@ -604,9 +604,13 @@ class Trainer:
                 compute_dtype=jnp.dtype(cfg.compute_dtype),
                 scene_contraction=self.scene_contraction,
                 dir_encoder=self.dir_encoder, sh_degree=self.sh_degree,
-                # dynamic scenes: grid = union of occupancy over time
-                dyn_times=(0.0, 0.25, 0.5, 0.75, 1.0) if self.dynamic
-                else ())
+                # dynamic scenes: grid = union of occupancy probed at
+                # --occ_time_probes times (static: no time axis at all)
+                dyn_times=tuple(
+                    np.linspace(0.0, 1.0,
+                                max(2, int(getattr(cfg, "occ_time_probes",
+                                                   5) or 5))).tolist())
+                if self.dynamic else ())
 
         # ---- eval renderer ----
         # kplanes eval-only plane pooling (--eval_kp_pool): the plane
@@ -984,23 +988,41 @@ class Trainer:
         res = int(cfg.mesh_res)
         ct = (None if str(cfg.compute_dtype) == "float32"
               else jnp.dtype(cfg.compute_dtype))
-        grid = query_density_grid(
-            self._fold_app(dict(self.state.params_f)),
-            self.eval_hyper.model, self.pos_bands, self.dir_bands,
-            res=res, lo=lo, hi=hi,
-            sigma_activation=cfg.sigma_activation,
-            pos_include_input=cfg.pos_include_input,
-            dir_include_input=cfg.dir_include_input,
-            pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
-            compute_dtype=ct, scene_contraction=self.scene_contraction,
-            dir_encoder=self.dir_encoder, sh_degree=self.sh_degree,
-            time=(float(getattr(cfg, "mesh_time", 0.0) or 0.0)
-                  if self.dynamic else None))
-        verts, faces = marching_tetrahedra(grid, float(cfg.mesh_thr), lo, hi)
-        path = self.out_dir / "mesh" / f"mesh_step_{step:07d}.obj"
-        export_obj(path, verts, faces)
-        print(f"[MESH] wrote {path} ({len(verts)} verts, {len(faces)} "
-              f"faces; res {res}, thr {cfg.mesh_thr}, box {lo}..{hi})")
+
+        # dynamic scenes: --mesh_time_sweep K exports the time-lapse
+        # geometry (K OBJs over t = linspace(0,1,K)); otherwise one OBJ
+        # at --mesh_time (static scenes: no time at all)
+        sweep = int(getattr(cfg, "mesh_time_sweep", 0) or 0)
+        if self.dynamic and sweep > 1:
+            times = [float(t) for t in np.linspace(0.0, 1.0, sweep)]
+        elif self.dynamic:
+            times = [float(getattr(cfg, "mesh_time", 0.0) or 0.0)]
+        else:
+            times = [None]
+
+        params_eval = self._fold_app(dict(self.state.params_f))
+        path = None
+        for ti, t in enumerate(times):
+            grid = query_density_grid(
+                params_eval,
+                self.eval_hyper.model, self.pos_bands, self.dir_bands,
+                res=res, lo=lo, hi=hi,
+                sigma_activation=cfg.sigma_activation,
+                pos_include_input=cfg.pos_include_input,
+                dir_include_input=cfg.dir_include_input,
+                pos_encoder=self.pos_encoder, enc_cfg=self.enc_cfg,
+                compute_dtype=ct, scene_contraction=self.scene_contraction,
+                dir_encoder=self.dir_encoder, sh_degree=self.sh_degree,
+                time=t)
+            verts, faces = marching_tetrahedra(grid, float(cfg.mesh_thr),
+                                               lo, hi)
+            tag = f"_t{ti:03d}" if len(times) > 1 else ""
+            path = self.out_dir / "mesh" / f"mesh_step_{step:07d}{tag}.obj"
+            export_obj(path, verts, faces)
+            tstr = "" if t is None else f", t={t:.3f}"
+            print(f"[MESH] wrote {path} ({len(verts)} verts, {len(faces)} "
+                  f"faces; res {res}, thr {cfg.mesh_thr}, box {lo}..{hi}"
+                  f"{tstr})")
         return path
 
     def eval_params(self):

@@ -214,3 +214,30 @@ def test_kp_time_res_without_times_warns(tmp_path, capsys):
           "--max_steps", "8", "--ckpt_every", "8"])
     assert "no frame in the dataset carries a 'time'" in \
         capsys.readouterr().out
+
+
+def test_dynamic_mesh_time_sweep_and_occ_probes(tmp_path, capsys):
+    """--mesh_time_sweep K exports K time-tagged OBJs; --occ_time_probes
+    sizes the dynamic occupancy union (VERDICT r3 #5)."""
+    from nerf_sandbox_tpu.scripts.train_nerf import main
+    from tests.make_dynamic_scene import make_scene
+    root = make_scene(tmp_path / "dyn", views=6, size=16, val_views=1)
+    out = tmp_path / "exp"
+    main(["--data_root", str(root), "--data_kind", "blender",
+          "--out_dir", str(out), "--encoder", "kplanes",
+          "--kp_time_res", "6", "--kp_plane_res", "8",
+          "--kp_plane_features", "4", "--kp_line_res", "16",
+          "--kp_line_features", "4",
+          "--n_layers", "2", "--hidden_dim", "32", "--skip_pos", "1",
+          "--rays_per_batch", "32", "--nc", "4", "--nf", "8",
+          "--sampling", "occupancy", "--occ_res", "16",
+          "--occ_time_probes", "3",
+          "--num_val_steps", "1", "--log_every", "8",
+          "--progress_frames", "0", "--eval_chunk", "128",
+          "--max_steps", "8", "--ckpt_every", "8",
+          "--export_mesh", "true", "--mesh_res", "24", "--mesh_time_sweep", "3"])
+    objs = sorted((out / "mesh").glob("mesh_step_*_t*.obj"))
+    assert len(objs) == 3, objs
+    assert objs[0].name.endswith("_t000.obj")
+    txt = capsys.readouterr().out
+    assert "t=0.000" in txt and "t=1.000" in txt
