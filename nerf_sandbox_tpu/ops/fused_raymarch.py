@@ -1,9 +1,10 @@
 """Pallas TPU kernel: fully-fused eval ray-march (SURVEY §7 stage 8).
 
 One kernel per (ray-tile, sample-chunk) grid step performs, entirely in
-VMEM: positional ENCODE → skip-MLP trunk → σ/rgb HEADS → transmittance
-COMPOSITE, with per-ray accumulators carried across sample chunks in
-scratch.  Replaces the XLA eval path's biggest cost — per-layer (Q,256)
+VMEM: positional ENCODE (frequency OR static k-planes, with optional
+mip-NeRF 360 scene contraction of the marching points) → skip-MLP trunk →
+σ/rgb HEADS → transmittance COMPOSITE, with per-ray accumulators carried
+across sample chunks in scratch.  Replaces the XLA eval path's biggest cost — per-layer (Q,256)
 activation round-trips through HBM (~10 KB of HBM traffic per MLP row) —
 with ~2 KB of HBM traffic per RAY (geometry in, composite + per-sample
 weights out).  MLP weights stay resident in VMEM across the whole grid.
@@ -24,7 +25,12 @@ Design notes (why these shapes):
   sequentially, so VMEM scratch legally carries per-ray state (log T,
   Σw, Σw·z, Σw·rgb) across the chunks of one ray tile.
 * per-step matmul rows Q = TILE_R·CHUNK_N = 2048 keep live activations
-  ~7 MB — inside the 16 MB VMEM budget with double buffering.
+  ~7 MB — inside the 16 MB VMEM budget with double buffering.  The
+  k-planes variant marches Q = TILE_R·KP_CHUNK_N = 512: its in-kernel
+  interp temps are (Q, R≤512) vectors Mosaic stacks in scoped VMEM
+  (measured 52 MB at Q=2048 — Mosaic does not register-fuse long
+  elementwise chains), and shrinking the chunk is the lever that scales
+  the whole live set.
 * per-sample arrays (z, Δ, weights) are laid out TRANSPOSED (N, B) so
   sample-chunk blocks are (16, 128) — sublane 16, lane 128, exactly the
   hardware tile.  Per-ray→per-sample broadcasts are one-hot matmuls
@@ -53,6 +59,13 @@ from nerf_sandbox_tpu.ops.fused_mlp import (
 
 TILE_R = 128          # rays per grid tile (lane dim of transposed arrays)
 CHUNK_N = 16          # samples per chunk
+# k-planes variant: the in-kernel encode runs in a fori_loop over KP_SUB-row
+# sub-slices through VMEM scratch (see _kernel_chunk_body) — Mosaic
+# allocates kernel temps on a 16 MB scoped-VMEM stack WITHOUT register-
+# fusing long elementwise chains, and the encode's (Q, R≤512) hat-weight
+# temps measured 52 MB at Q=2048.  A loop body is allocated once, so the
+# live set is bounded by one sub-slice (~3 MB at KP_SUB=128).
+KP_SUB = 128
 
 
 def _encode_constants(bands: np.ndarray, include_input: bool, pad: int):
@@ -79,16 +92,115 @@ def _encode_constants(bands: np.ndarray, include_input: bool, pad: int):
     return B, sid, ssin, scos
 
 
+def _kp_pack_tables(kp_params: dict, kp_cfg) -> tuple:
+    """Pack kplanes tables for VMEM residency → (tables, meta).
+
+    Per scale, each (R, R, F) plane becomes a bf16 (F, R, R) stack the
+    kernel walks feature-by-feature with (Q,R)×(R,R) matmuls — one
+    feature's row-interp live at a time, which keeps the kernel's scoped
+    VMEM ~1 MB instead of the 50 MB a single (Q,R)×(R,F·R) product would
+    pin (Mosaic allocates the whole live set on the VMEM stack; there is
+    no spill). CP lines pass through as (line_res, Fl). Static scenes
+    only (time_res == 0 — the 4-D space-time planes keep the XLA eval
+    path)."""
+    tabs = []
+    for s, R in enumerate(kp_cfg.plane_res):
+        for name in ("xy", "xz", "yz"):
+            P = jnp.asarray(kp_params[f"plane{s}_{name}"], jnp.bfloat16)
+            tabs.append(P.transpose(2, 0, 1))                  # (F, R, R)
+    for name in ("x", "y", "z"):
+        tabs.append(jnp.asarray(kp_params[f"line_{name}"], jnp.bfloat16))
+    meta = {"plane_res": tuple(int(r) for r in kp_cfg.plane_res),
+            "F": int(kp_cfg.plane_features),
+            "line_res": int(kp_cfg.line_res),
+            "aabb": float(kp_cfg.aabb_scale),
+            "hybrid": int(getattr(kp_cfg, "hybrid_freqs", 0) or 0)}
+    return tabs, meta
+
+
+def _kp_encode_body(pts3, kp_refs, Bmat, sid, ssin, scos, meta, ep_pad):
+    """In-kernel k-planes encode: (Q,3) f32 world points → (Q, ep_pad) bf16.
+
+    Mirrors models/kplanes.py ``_encode_chunk`` exactly (static path):
+    box-normalize, per scale the Hadamard product of three bilinear plane
+    interps, times the CP-line product, then the optional hybrid frequency
+    channels — same feature ordering, so the packed MLP weights line up.
+    The bilinear interp is the one-hot-matmul idiom: hat weight rows
+    relu(1-|u·(R-1)-i|) built from iota (no gathers), then per feature
+    one (Q,R)×(R,R) MXU matmul and a multiply-reduce — F small matmuls
+    per plane instead of one wide one, bounding live VMEM at ~(Q,R) f32
+    (see _kp_pack_tables)."""
+    f32 = jnp.float32
+    Q = pts3.shape[0]
+    x01 = jnp.clip(pts3 / (2.0 * meta["aabb"]) + 0.5, 0.0, 1.0)
+    F = meta["F"]
+    feats = []
+    ri = 0
+    for R in meta["plane_res"]:
+        # Mosaic's tpu.iota is integer-only — build int32, then convert.
+        # Hat weights in bf16: matches the XLA eval path (kplanes.py
+        # _encode_chunk runs at compute_dtype=bf16 under the bf16 eval
+        # forward) and halves the live VMEM.
+        iota = jax.lax.broadcasted_iota(jnp.int32, (Q, R), 1).astype(f32)
+        Wb = [jnp.maximum(0.0, 1.0 - jnp.abs(x01[:, d:d + 1] * (R - 1.0)
+                                             - iota)).astype(jnp.bfloat16)
+              for d in range(3)]
+        fsel = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1)  # column ids
+        prod = None
+        for da, db in ((0, 1), (0, 2), (1, 2)):
+            Wf = Wb[db].astype(f32)                            # (Q, R)
+            fq = jnp.zeros((Q, F), f32)
+            for f in range(F):
+                A = jnp.dot(Wb[da], kp_refs[ri][f],
+                            preferred_element_type=f32)        # (Q, R)
+                col = jnp.sum(Wf * A, axis=1, keepdims=True)
+                # (Q,1)x(1,F) one-hot broadcast writes column f (Mosaic
+                # has no dynamic_update_slice; this is a lane select)
+                fq = fq + col * (fsel == f).astype(f32)
+            ri += 1
+            prod = fq if prod is None else prod * fq
+        feats.append(prod)
+    L = meta["line_res"]
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (Q, L), 1).astype(f32)
+    line = None
+    for d in range(3):
+        lw = jnp.maximum(0.0, 1.0 - jnp.abs(x01[:, d:d + 1] * (L - 1.0)
+                                            - iota_l)).astype(jnp.bfloat16)
+        v = jnp.dot(lw, kp_refs[ri][:], preferred_element_type=f32)
+        ri += 1
+        line = v if line is None else line * v
+    feats.append(line)
+    if meta["hybrid"] > 0:
+        # parameter-free freq channels of the box-normalized coords — the
+        # unbounded-360 hybrid (kplanes.py:257-266); constants built from
+        # the hybrid bands, not the model's pos_bands
+        args = jnp.dot(x01 * 2.0 - 1.0, Bmat[:], preferred_element_type=f32)
+        feats.append(sid[:] * args + ssin[:] * jnp.sin(args)
+                     + scos[:] * jnp.cos(args))
+    enc = jnp.concatenate(feats, axis=1)
+    used = enc.shape[1]
+    if used < ep_pad:
+        enc = jnp.concatenate(
+            [enc, jnp.zeros((Q, ep_pad - used), f32)], axis=1)
+    return enc.astype(jnp.bfloat16)
+
+
 def _kernel(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
             w0, b0, w_mid, b_mid, wskip_h, wskip_e, bskip,
             w_sf, b_sf, wc1, bc1, wc2, bc2,
-            out_ray, out_wt, state, *, skip_pos: int, n_layers: int,
+            *tail, skip_pos: int, n_layers: int,
             hidden: int, softplus_sigma: bool, white_bkgd: bool,
-            n_chunks: int, n_rays: int, log_eps, contract: bool):
+            n_chunks: int, n_rays: int, log_eps, contract: bool,
+            kp_meta, ep_pad: int, chunk_n: int):
+    if kp_meta is not None:
+        kp_refs = tail[:-5]
+        out_ray, out_wt, state, pts3_s, enc_s = tail[-5:]
+    else:
+        kp_refs, (out_ray, out_wt, state) = tail[:-3], tail[-3:]
+        pts3_s = enc_s = None
     f32 = jnp.float32
     i = pl.program_id(0)
     j = pl.program_id(1)
-    Q = TILE_R * CHUNK_N
 
     @pl.when(j == 0)
     def _():
@@ -117,16 +229,20 @@ def _kernel(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
             _kernel_chunk_body(
                 geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
                 w0, b0, w_mid, b_mid, wskip_h, wskip_e, bskip,
-                w_sf, b_sf, wc1, bc1, wc2, bc2, out_wt, state,
+                w_sf, b_sf, wc1, bc1, wc2, bc2, kp_refs, out_wt, state,
+                pts3_s, enc_s,
                 skip_pos=skip_pos, n_layers=n_layers, hidden=hidden,
-                softplus_sigma=softplus_sigma, contract=contract)
+                softplus_sigma=softplus_sigma, contract=contract,
+                kp_meta=kp_meta, ep_pad=ep_pad, chunk_n=chunk_n)
     else:
         _kernel_chunk_body(
             geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
             w0, b0, w_mid, b_mid, wskip_h, wskip_e, bskip,
-            w_sf, b_sf, wc1, bc1, wc2, bc2, out_wt, state,
+            w_sf, b_sf, wc1, bc1, wc2, bc2, kp_refs, out_wt, state,
+            pts3_s, enc_s,
             skip_pos=skip_pos, n_layers=n_layers, hidden=hidden,
-            softplus_sigma=softplus_sigma, contract=contract)
+            softplus_sigma=softplus_sigma, contract=contract,
+            kp_meta=kp_meta, ep_pad=ep_pad, chunk_n=chunk_n)
 
     @pl.when(j == n_chunks - 1)
     def _():
@@ -142,10 +258,12 @@ def _kernel(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
 def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
                        w0, b0, w_mid, b_mid, wskip_h, wskip_e, bskip,
                        w_sf, b_sf, wc1, bc1, wc2, bc2,
-                       out_wt, state, *, skip_pos: int, n_layers: int,
-                       hidden: int, softplus_sigma: bool, contract: bool):
+                       kp_refs, out_wt, state, pts3_s, enc_s, *,
+                       skip_pos: int,
+                       n_layers: int, hidden: int, softplus_sigma: bool,
+                       contract: bool, kp_meta, ep_pad: int, chunk_n: int):
     f32 = jnp.float32
-    Q = TILE_R * CHUNK_N
+    Q = TILE_R * chunk_n
 
     # ---- per-(sample,ray) channels; rows ordered q = k*TILE_R + r ----
     # Mosaic cannot shape-cast (CN,T_R) <-> (Q,1) (lanes <-> sublanes), so
@@ -157,8 +275,8 @@ def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
     rows = jax.lax.broadcasted_iota(jnp.int32, (Q, TILE_R), 0) % TILE_R
     cols = jax.lax.broadcasted_iota(jnp.int32, (Q, TILE_R), 1)
     onehot = (rows == cols).astype(f32)                    # (Q, T_R): ray of q
-    kq = jax.lax.broadcasted_iota(jnp.int32, (Q, CHUNK_N), 0) // TILE_R
-    kc = jax.lax.broadcasted_iota(jnp.int32, (Q, CHUNK_N), 1)
+    kq = jax.lax.broadcasted_iota(jnp.int32, (Q, chunk_n), 0) // TILE_R
+    kc = jax.lax.broadcasted_iota(jnp.int32, (Q, chunk_n), 1)
     S = (kq == kc).astype(f32)                             # (Q, CN): chunk of q
 
     # per-ray channels broadcast to samples
@@ -184,9 +302,26 @@ def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
         pts3 = jnp.where(n <= 1.0, pts3, (2.0 - 1.0 / n) * (pts3 / n))
 
     # ---- positional encode (f32 args; bf16 features) ----
-    args = jnp.dot(pts3, Bmat[:], preferred_element_type=f32)    # (Q, EP_PAD)
-    enc_pos = (sid[:] * args + ssin[:] * jnp.sin(args)
-               + scos[:] * jnp.cos(args)).astype(jnp.bfloat16)
+    if kp_meta is not None:
+        # k-planes: encode KP_SUB rows per fori_loop iteration through the
+        # scratch refs — the loop body's interp temps are allocated ONCE
+        # on Mosaic's scoped-VMEM stack instead of per unrolled sub-slice
+        # (52 MB all-at-once vs ~3 MB looped; see module docstring).
+        pts3_s[:] = pts3
+        n_sub = Q // KP_SUB
+
+        def _enc_sub(s, carry):
+            x = pts3_s[pl.ds(s * KP_SUB, KP_SUB), :]
+            enc_s[pl.ds(s * KP_SUB, KP_SUB), :] = _kp_encode_body(
+                x, kp_refs, Bmat, sid, ssin, scos, kp_meta, ep_pad)
+            return carry
+
+        jax.lax.fori_loop(0, n_sub, _enc_sub, 0)
+        enc_pos = enc_s[:]
+    else:
+        args = jnp.dot(pts3, Bmat[:], preferred_element_type=f32)  # (Q, EP_PAD)
+        enc_pos = (sid[:] * args + ssin[:] * jnp.sin(args)
+                   + scos[:] * jnp.cos(args)).astype(jnp.bfloat16)
 
     # ---- fused MLP (bf16 matmuls, f32 accum) — fused_mlp.py semantics ----
     def lin(x, w, b):
@@ -233,8 +368,8 @@ def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
     lg = jnp.log(one_m_alpha + 1e-10)                      # (CN, T_R)
 
     # strict-lower-triangular matmul = exclusive cumsum along samples
-    r_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_N, CHUNK_N), 0)
-    c_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_N, CHUNK_N), 1)
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (chunk_n, chunk_n), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (chunk_n, chunk_n), 1)
     tri = (c_i < r_i).astype(f32)                          # L[k, j] = j < k
     excl = jnp.dot(tri, lg, preferred_element_type=f32)    # (CN, T_R)
 
@@ -261,6 +396,7 @@ def fused_raymarch(params, cfg: NeRFConfig, rays_o, rays_d_unit, z_vals,
                    sigma_activation: str = "relu", white_bkgd: bool = True,
                    infinite_last_bin: bool = True, ert_eps: float = 0.0,
                    scene_contraction: bool = False,
+                   kp_params: dict | None = None, kp_cfg=None,
                    interpret: bool = False):
     """Fused eval forward → (comp (B,3), weights (B,N), acc (B,1), depth (B,1)).
 
@@ -284,8 +420,9 @@ def fused_raymarch(params, cfg: NeRFConfig, rays_o, rays_d_unit, z_vals,
     dt = jnp.concatenate([d_fin, d_last], axis=1) * ray_norms.reshape(B, 1)
 
     # pad rays to TILE_R, samples to CHUNK_N (dt pad = 0 → α = w = 0)
+    cn = CHUNK_N
     b_pad = (-B) % TILE_R
-    n_pad = (-N) % CHUNK_N
+    n_pad = (-N) % cn
     Bp, Np = B + b_pad, N + n_pad
     z_t = _pad_to(z_vals.astype(jnp.float32), Bp, Np).T    # (Np, Bp)
     dt_t = _pad_to(dt.astype(jnp.float32), Bp, Np).T
@@ -296,10 +433,28 @@ def fused_raymarch(params, cfg: NeRFConfig, rays_o, rays_d_unit, z_vals,
     geom = geom.at[:B, 6].set(ray_norms.reshape(B))
     ed = _pad_to(enc_dir.astype(jnp.float32), Bp, ED_PAD)
 
-    bands = np.asarray(pos_bands, np.float32)
-    Bm, sid, ssin, scos = _encode_constants(bands, pos_include_input, EP_PAD)
+    if kp_cfg is not None:
+        # in-kernel k-planes encode (static scenes; cfg.enc_pos_dim is the
+        # kplanes out_dim, so EP_PAD and the packed MLP weights line up)
+        assert int(getattr(kp_cfg, "time_res", 0) or 0) == 0, \
+            "fused kplanes eval is static-only (4-D stays on XLA eval)"
+        kp_tables, kp_meta = _kp_pack_tables(kp_params, kp_cfg)
+        if kp_meta["hybrid"] > 0:
+            from nerf_sandbox_tpu.core.encoding import make_frequency_bands
+            hb = np.asarray(make_frequency_bands(kp_meta["hybrid"]),
+                            np.float32)
+            Bm, sid, ssin, scos = _encode_constants(
+                hb, True, 3 + 6 * kp_meta["hybrid"])
+        else:   # unused dummies keep the kernel arity fixed
+            Bm = np.zeros((3, 8), np.float32)
+            sid = ssin = scos = np.zeros((1, 8), np.float32)
+    else:
+        kp_tables, kp_meta = [], None
+        bands = np.asarray(pos_bands, np.float32)
+        Bm, sid, ssin, scos = _encode_constants(bands, pos_include_input,
+                                                EP_PAD)
 
-    n_tiles, n_chunks = Bp // TILE_R, Np // CHUNK_N
+    n_tiles, n_chunks = Bp // TILE_R, Np // cn
     weights = [packed["w0"], packed["b0"], packed["w_mid"], packed["b_mid"],
                packed["wskip_h"], packed["wskip_e"], packed["bskip"],
                packed["w_sf"], packed["b_sf"], packed["wc1"], packed["bc1"],
@@ -313,7 +468,8 @@ def fused_raymarch(params, cfg: NeRFConfig, rays_o, rays_d_unit, z_vals,
         softplus_sigma=(sigma_activation == "softplus"),
         white_bkgd=white_bkgd, n_chunks=n_chunks, n_rays=B,
         log_eps=(float(np.log(ert_eps)) if ert_eps > 0.0 else None),
-        contract=bool(scene_contraction))
+        contract=bool(scene_contraction), kp_meta=kp_meta, ep_pad=EP_PAD,
+        chunk_n=cn)
 
     out_ray_t, out_wt = pl.pallas_call(
         kernel,
@@ -321,20 +477,26 @@ def fused_raymarch(params, cfg: NeRFConfig, rays_o, rays_d_unit, z_vals,
         in_specs=(
             [pl.BlockSpec((TILE_R, 8), lambda i, j: (i, 0)),
              pl.BlockSpec((TILE_R, ED_PAD), lambda i, j: (i, 0)),
-             pl.BlockSpec((CHUNK_N, TILE_R), lambda i, j: (j, i)),
-             pl.BlockSpec((CHUNK_N, TILE_R), lambda i, j: (j, i))]
+             pl.BlockSpec((cn, TILE_R), lambda i, j: (j, i)),
+             pl.BlockSpec((cn, TILE_R), lambda i, j: (j, i))]
             + [pl.BlockSpec(c.shape, (lambda i, j, _nd=c.ndim: (0,) * _nd))
                for c in consts]
             + [pl.BlockSpec(w.shape, (lambda i, j, _nd=w.ndim: (0,) * _nd))
-               for w in weights]),
+               for w in weights]
+            + [pl.BlockSpec(t.shape, (lambda i, j, _nd=t.ndim: (0,) * _nd))
+               for t in kp_tables]),
         out_specs=(
             pl.BlockSpec((8, TILE_R), lambda i, j: (0, i)),
-            pl.BlockSpec((CHUNK_N, TILE_R), lambda i, j: (j, i))),
+            pl.BlockSpec((cn, TILE_R), lambda i, j: (j, i))),
         out_shape=(jax.ShapeDtypeStruct((8, Bp), jnp.float32),
                    jax.ShapeDtypeStruct((Np, Bp), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((8, TILE_R), jnp.float32)],
+        scratch_shapes=(
+            [pltpu.VMEM((8, TILE_R), jnp.float32)]
+            + ([pltpu.VMEM((TILE_R * cn, 3), jnp.float32),      # pts3
+                pltpu.VMEM((TILE_R * cn, EP_PAD), jnp.bfloat16)]  # enc
+               if kp_meta is not None else [])),
         interpret=interpret,
-    )(geom, ed, z_t, dt_t, *consts, *weights)
+    )(geom, ed, z_t, dt_t, *consts, *weights, *kp_tables)
 
     o = out_ray_t[:, :B]
     comp = jnp.clip(jnp.nan_to_num(o[0:3].T, nan=0.0, posinf=1.0,

@@ -110,6 +110,7 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
                               include_input=hyper.dir_include_input,
                               dir_encoder=hyper.dir_encoder,
                               sh_degree=hyper.sh_degree)
+        kp = (hyper.pos_encoder == "kplanes")
         return fused_raymarch(
             params, hyper.model, rays_o, rays_d_unit, z, ray_norms, enc_dir,
             pos_bands_np, pos_include_input=hyper.pos_include_input,
@@ -118,6 +119,8 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
             infinite_last_bin=hyper.infinite_last_bin,
             ert_eps=hyper.eval_ert_eps,
             scene_contraction=hyper.scene_contraction,
+            kp_params=(params["pos_grid"] if kp else None),
+            kp_cfg=(hyper.enc_cfg if kp else None),
             interpret=hyper.pallas_interpret)
 
     if plan.mesh is not None:

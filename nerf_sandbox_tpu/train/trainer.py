@@ -816,9 +816,16 @@ class Trainer:
         from nerf_sandbox_tpu.ops.fused_mlp import fusable, pallas_available
         data_only = (self.plan.mesh is None
                      or "model" not in self.plan.mesh.axis_names)
+        # kplanes: the static (3-D) encode is fused in-kernel (one-hot
+        # matmul bilinear interps, VMEM-resident tables); 4-D space-time
+        # planes keep the XLA eval path
+        enc_ok = (self.pos_encoder == "freq"
+                  or (self.pos_encoder == "kplanes"
+                      and not int(getattr(self.enc_cfg, "time_res", 0)
+                                  or 0)))
         return bool(self.cfg.use_pallas and pallas_available()
                     and fusable(self.model_cfg)
-                    and self.pos_encoder == "freq"
+                    and enc_ok
                     and data_only
                     # (scene contraction IS fused — an elementwise warp on
                     # marching points inside the kernel since round 4)

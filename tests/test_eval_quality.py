@@ -126,3 +126,52 @@ def test_cull_is_exact_per_ray(trained):
         f"{int((~(match_ref | match_coarse)).sum())} pixels match neither path"
     # and the cull actually did something both ways on this dense scene
     assert match_ref.mean() > 0.3 and match_coarse.mean() > 0.2
+
+
+def test_kplanes_fused_render_matches_xla():
+    """Renderer-level wiring of the in-kernel kplanes encode: the fused
+    tile renderer == the XLA path on a kplanes model (random-init params;
+    the op-level equivalence is pinned in test_fused_raymarch)."""
+    from nerf_sandbox_tpu.models.kplanes import (KPlanesConfig,
+                                                 init_kplanes_params)
+    from nerf_sandbox_tpu.models.mlp import init_nerf_params
+    from nerf_sandbox_tpu.models.occupancy import OccupancyConfig
+    kp_cfg = KPlanesConfig(plane_res=(8, 16), plane_features=4, line_res=32,
+                           line_features=8, aabb_scale=2.0)
+    model = NeRFConfig(enc_pos_dim=kp_cfg.out_dim, enc_dir_dim=27,
+                       n_layers=3, hidden_dim=128, skip_pos=1)
+    k = jax.random.PRNGKey(3)
+    pf = init_nerf_params(k, model)
+    pf["pos_grid"] = init_kplanes_params(jax.random.fold_in(k, 1), kp_cfg)
+    pos_b, dir_b = vanilla_encoders()
+
+    # occupancy mode (the flagship kplanes+occupancy config): z placement
+    # is deterministic from the shared grid, so the comparison isolates
+    # the forward itself (hierarchical mode would amplify bf16 sigma
+    # diffs through the resample bins)
+    occ = OccupancyConfig(resolution=16)
+    pc = jnp.ones((16 ** 3,), jnp.float32)      # all-occupied grid
+    # infinite_last_bin off: with RANDOM-init params the last sample's
+    # sigma sits at the relu knife edge, and dt=1e10 amplifies a one-ulp
+    # bf16 sign flip into weight 0 vs 0.79 (trained models keep
+    # background sigma decisively negative; the trained-fixture test
+    # above pins the default bin semantics for the freq kernel)
+    base = dict(model=model, nc_eval=8, nf_eval=16, samp_near=NEAR,
+                samp_far=FAR, pos_encoder="kplanes", enc_cfg=kp_cfg,
+                sampling_mode="occupancy", occ_cfg=occ,
+                infinite_last_bin=False)
+    c2w = np.eye(4, dtype=np.float32)[:3]
+    c2w[2, 3] = 4.0
+    K = np.array([[24.0, 0, SIZE / 2], [0, 24.0, SIZE / 2], [0, 0, 1]],
+                 np.float32)
+
+    def rend(**ov):
+        hyper = EvalHyper(**base)._replace(**ov)
+        tile = make_tile_renderer(hyper, jnp.asarray(pos_b),
+                                  jnp.asarray(dir_b))
+        return render_pose(tile, pc, pf, c2w, SIZE, SIZE, K,
+                           eval_chunk=256)["rgb"]
+
+    ref = rend()
+    fused = rend(use_pallas=True, pallas_interpret=True)
+    assert float(np.abs(fused - ref).max()) < 2.5e-2
