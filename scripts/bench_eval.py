@@ -39,17 +39,32 @@ def _trainer_for(data_root, out_dir, extra=()):
     cli_main(argv)
 
 
-def _load(data_root, out_dir, extra=(), vanilla=True):
+def _load(data_root, out_dir, extra=(), vanilla=True, use_saved=False):
     """``vanilla=False`` skips the profile (it force-overrides model-shape
     flags like --n_layers/--hidden_dim — wrong for non-vanilla runs such
-    as the small-MLP kplanes recipe)."""
+    as the small-MLP kplanes recipe).  ``use_saved=True`` restores the
+    run's trained flags from its checkpoint's config echo (same mechanism
+    as the eval CLI) so non-vanilla runs need no flag pass-through;
+    ``extra`` still overrides."""
     from nerf_sandbox_tpu.config import (apply_path_defaults,
                                          apply_vanilla_profile,
                                          build_argparser, make_cfg_from_args)
     from nerf_sandbox_tpu.train.trainer import Trainer
     argv = ["--data_root", data_root, "--out_dir", out_dir,
             *(["--vanilla"] if vanilla else []), *extra]
-    cfg = make_cfg_from_args(build_argparser().parse_args(argv))
+    ap = build_argparser()
+    if use_saved:
+        from nerf_sandbox_tpu.train import checkpoints as ckpt
+        peek = ckpt.peek_checkpoint_meta(out_dir)
+        if peek is not None:
+            _, saved = peek
+            dests = {a.dest for a in ap._actions}
+            ap.set_defaults(**{k: v for k, v in saved.items()
+                               if k in dests and k not in
+                               ("data_root", "out_dir", "resume",
+                                "val_split")})
+            print(f"[bench_eval] restored saved config from {out_dir}")
+    cfg = make_cfg_from_args(ap.parse_args(argv))
     cfg.data_kind = "blender"
     if cfg.centering is None:
         cfg.centering = "none"
@@ -79,7 +94,7 @@ def _poses(n, radius=4.0):
 
 
 def _bench_variant(tr, hyper, label, H=800, W=800, eval_chunk=32768,
-                   n_reps=3):
+                   n_reps=3, radius=4.0):
     """Per-frame DEVICE time via a dependent chain: ONE jitted fori_loop
     renders every tile of a real 800x800 frame (outputs chained into the
     next tile's origins), so a frame is a single dispatch and the axon
@@ -94,7 +109,7 @@ def _bench_variant(tr, hyper, label, H=800, W=800, eval_chunk=32768,
     K = np.array([[0.5 * W / np.tan(0.3), 0, W / 2],
                   [0, 0.5 * W / np.tan(0.3), H / 2], [0, 0, 1]], np.float32)
     pc, pf = tr.eval_params()
-    c2w = _poses(1)[0]
+    c2w = _poses(1, radius=radius)[0]
     rays = get_camera_rays_grid(jnp.asarray(K), jnp.asarray(c2w),
                                 image_h=H, image_w=W, convention="opengl",
                                 pixel_center=True)
@@ -159,6 +174,15 @@ def main():
                     help="extra trainer flags for the kplanes run (e.g. "
                          "'--n_layers 3 --hidden_dim 64 --skip_pos 1' for "
                          "the fast-family small-MLP recipe)")
+    ap.add_argument("--data360", default="/tmp/u360",
+                    help="data_root of the --dir360 run's scene")
+    ap.add_argument("--dir360", default=None,
+                    help="out_dir of an unbounded-360 run (contraction; "
+                         "e.g. the kplanes-hybrid winner) — benches its "
+                         "XLA vs fused eval (round 4: contraction and the "
+                         "kplanes/hybrid encode are in-kernel)")
+    ap.add_argument("--extra360", default="",
+                    help="trainer flags matching the --dir360 run's recipe")
     ap.add_argument("--skip_hier", action="store_true",
                     help="skip the hierarchical variants")
     ap.add_argument("--frames", type=int, default=3)
@@ -207,7 +231,7 @@ def main():
         kp_extra = args.kp_extra.split()
         trk = _load(args.data_root, args.kp_dir,
                     extra=["--sampling", "occupancy", "--encoder", "kplanes",
-                           *kp_extra], vanilla=not kp_extra)
+                           *kp_extra], vanilla=False, use_saved=True)
         hk = trk.eval_hyper._replace(use_pallas=False)  # XLA (kplanes enc)
         results.append(_bench_variant(
             trk, hk, "kplanes+occupancy eval (XLA)",
@@ -215,6 +239,16 @@ def main():
         results.append(_bench_variant(
             trk, hk._replace(eval_fine_frac=0.5),
             "kplanes+occupancy eval + cull 0.5",
+            n_reps=args.frames))
+        # round-4: the kplanes encode is fused in-kernel (one-hot matmul
+        # bilinear interps on VMEM-resident tables)
+        hkf = trk.eval_hyper._replace(use_pallas=True)
+        results.append(_bench_variant(
+            trk, hkf, "kplanes+occupancy eval (fused kernel)",
+            n_reps=args.frames))
+        results.append(_bench_variant(
+            trk, hkf._replace(eval_ert_eps=1e-4, eval_fine_frac=0.5),
+            "kplanes+occupancy fused + ERT + cull 0.5",
             n_reps=args.frames))
         # eval-only plane pooling (--eval_kp_pool): 4x encode-FLOP cut per
         # factor 2 (the 2QR^2F plane contraction dominates this family's
@@ -229,6 +263,28 @@ def main():
                 trp, trp.eval_hyper._replace(use_pallas=False),
                 f"kplanes+occupancy eval, planes pooled {pool}x",
                 n_reps=args.frames))
+
+    if args.dir360:
+        tr3 = _load(args.data360, args.dir360,
+                    extra=args.extra360.split(), vanilla=False,
+                    use_saved=True)
+        h3 = tr3.eval_hyper
+        # camera at the run's (normalized) orbit radius — a mip-360 rig
+        # sits inside the unit ball, and the occupancy cull seen from a
+        # far-outside pose would flatter the numbers
+        r360 = float(np.linalg.norm(
+            np.asarray(tr3.scene_val.frames[0].c2w)[:3, 3]))
+        for hyper, label in [
+            (h3._replace(use_pallas=False), "unbounded-360 eval (XLA)"),
+            (h3._replace(use_pallas=True),
+             "unbounded-360 eval (fused kernel)"),
+            (h3._replace(use_pallas=True, eval_ert_eps=1e-4,
+                         eval_fine_frac=0.5),
+             "unbounded-360 fused + ERT + cull 0.5"),
+        ]:
+            results.append(_bench_variant(tr3, hyper, label,
+                                          n_reps=args.frames,
+                                          radius=r360))
 
     print(json.dumps(results))
 
