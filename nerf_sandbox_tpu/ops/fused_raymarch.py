@@ -92,7 +92,7 @@ def _encode_constants(bands: np.ndarray, include_input: bool, pad: int):
     return B, sid, ssin, scos
 
 
-def _kp_pack_tables(kp_params: dict, kp_cfg) -> tuple:
+def _kp_pack_tables(kp_params: dict, kp_cfg, t=None) -> tuple:
     """Pack kplanes tables for VMEM residency → (tables, meta).
 
     Per scale, each (R, R, F) plane becomes a bf16 (F, R, R) stack the
@@ -100,21 +100,48 @@ def _kp_pack_tables(kp_params: dict, kp_cfg) -> tuple:
     feature's row-interp live at a time, which keeps the kernel's scoped
     VMEM ~1 MB instead of the 50 MB a single (Q,R)×(R,F·R) product would
     pin (Mosaic allocates the whole live set on the VMEM stack; there is
-    no spill). CP lines pass through as (line_res, Fl). Static scenes
-    only (time_res == 0 — the 4-D space-time planes keep the XLA eval
-    path)."""
-    tabs = []
+    no spill). CP lines pass through as (line_res, Fl).
+
+    DYNAMIC scenes (time_res > 0): an eval render has ONE fixed frame
+    time, so the three space-time planes fold EXACTLY into per-scale,
+    per-axis (R, F) tables — M_sd = Σ_τ hat(t)_τ · P_sd[:, τ, :] — and
+    the CP time line folds into a constant (Fl,) row multiplied into
+    line_x. The kernel then runs the static encode plus three extra
+    (Q,R)×(R,F) interps per scale; ``t`` is the frame's normalized time
+    (traced scalar)."""
+    dyn = int(getattr(kp_cfg, "time_res", 0) or 0) > 0
+    tabs, folds = [], []
+    if dyn:
+        from nerf_sandbox_tpu.models.kplanes import _interp_weights
+        assert t is not None, "4-D kplanes fold needs the frame time"
+        wt = _interp_weights(jnp.reshape(t, (1,)).astype(jnp.float32),
+                             int(kp_cfg.time_res))[0]           # (T,)
     for s, R in enumerate(kp_cfg.plane_res):
         for name in ("xy", "xz", "yz"):
             P = jnp.asarray(kp_params[f"plane{s}_{name}"], jnp.bfloat16)
             tabs.append(P.transpose(2, 0, 1))                  # (F, R, R)
+        if dyn:
+            for name in ("xt", "yt", "zt"):
+                P = jnp.asarray(kp_params[f"plane{s}_{name}"],
+                                jnp.float32)                   # (R, T, F)
+                folds.append(jnp.einsum("t,rtf->rf", wt,
+                                        P).astype(jnp.bfloat16))
+    tabs += folds
+    line_scale = None
+    if dyn:
+        line_scale = wt @ jnp.asarray(kp_params["line_t"],
+                                      jnp.float32)             # (Fl,)
     for name in ("x", "y", "z"):
-        tabs.append(jnp.asarray(kp_params[f"line_{name}"], jnp.bfloat16))
+        L = jnp.asarray(kp_params[f"line_{name}"], jnp.float32)
+        if name == "x" and line_scale is not None:
+            L = L * line_scale[None, :]
+        tabs.append(L.astype(jnp.bfloat16))
     meta = {"plane_res": tuple(int(r) for r in kp_cfg.plane_res),
             "F": int(kp_cfg.plane_features),
             "line_res": int(kp_cfg.line_res),
             "aabb": float(kp_cfg.aabb_scale),
-            "hybrid": int(getattr(kp_cfg, "hybrid_freqs", 0) or 0)}
+            "hybrid": int(getattr(kp_cfg, "hybrid_freqs", 0) or 0),
+            "tfold": dyn}
     return tabs, meta
 
 
@@ -134,9 +161,10 @@ def _kp_encode_body(pts3, kp_refs, Bmat, sid, ssin, scos, meta, ep_pad):
     Q = pts3.shape[0]
     x01 = jnp.clip(pts3 / (2.0 * meta["aabb"]) + 0.5, 0.0, 1.0)
     F = meta["F"]
+    n_scales = len(meta["plane_res"])
     feats = []
     ri = 0
-    for R in meta["plane_res"]:
+    for si, R in enumerate(meta["plane_res"]):
         # Mosaic's tpu.iota is integer-only — build int32, then convert.
         # Hat weights in bf16: matches the XLA eval path (kplanes.py
         # _encode_chunk runs at compute_dtype=bf16 under the bf16 eval
@@ -159,8 +187,16 @@ def _kp_encode_body(pts3, kp_refs, Bmat, sid, ssin, scos, meta, ep_pad):
                 fq = fq + col * (fsel == f).astype(f32)
             ri += 1
             prod = fq if prod is None else prod * fq
+        if meta["tfold"]:
+            # fixed-time fold of the space-time planes: one 1-D interp
+            # per axis, (Q,R)×(R,F) — see _kp_pack_tables
+            for d in range(3):
+                tf = jnp.dot(Wb[d], kp_refs[3 * n_scales + 3 * si + d][:],
+                             preferred_element_type=f32)       # (Q, F)
+                prod = prod * tf
         feats.append(prod)
     L = meta["line_res"]
+    ri = 3 * n_scales * (2 if meta["tfold"] else 1)   # lines follow folds
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (Q, L), 1).astype(f32)
     line = None
     for d in range(3):
@@ -396,7 +432,7 @@ def fused_raymarch(params, cfg: NeRFConfig, rays_o, rays_d_unit, z_vals,
                    sigma_activation: str = "relu", white_bkgd: bool = True,
                    infinite_last_bin: bool = True, ert_eps: float = 0.0,
                    scene_contraction: bool = False,
-                   kp_params: dict | None = None, kp_cfg=None,
+                   kp_params: dict | None = None, kp_cfg=None, kp_t=None,
                    interpret: bool = False):
     """Fused eval forward → (comp (B,3), weights (B,N), acc (B,1), depth (B,1)).
 
@@ -434,11 +470,10 @@ def fused_raymarch(params, cfg: NeRFConfig, rays_o, rays_d_unit, z_vals,
     ed = _pad_to(enc_dir.astype(jnp.float32), Bp, ED_PAD)
 
     if kp_cfg is not None:
-        # in-kernel k-planes encode (static scenes; cfg.enc_pos_dim is the
-        # kplanes out_dim, so EP_PAD and the packed MLP weights line up)
-        assert int(getattr(kp_cfg, "time_res", 0) or 0) == 0, \
-            "fused kplanes eval is static-only (4-D stays on XLA eval)"
-        kp_tables, kp_meta = _kp_pack_tables(kp_params, kp_cfg)
+        # in-kernel k-planes encode (cfg.enc_pos_dim is the kplanes
+        # out_dim, so EP_PAD and the packed MLP weights line up); 4-D
+        # models pass the frame's fixed time as kp_t and fold to static
+        kp_tables, kp_meta = _kp_pack_tables(kp_params, kp_cfg, t=kp_t)
         if kp_meta["hybrid"] > 0:
             from nerf_sandbox_tpu.core.encoding import make_frequency_bands
             hb = np.asarray(make_frequency_bands(kp_meta["hybrid"]),

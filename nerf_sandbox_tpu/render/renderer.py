@@ -99,9 +99,12 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
     plan = plan or MeshPlan(mesh=None)
     pos_bands_np = np.asarray(pos_bands)   # concrete, for the fused kernel
 
-    def _fused_fwd_local(params, rays_o, rays_d_unit, ray_norms, viewdirs, z):
+    def _fused_fwd_local(params, rays_o, rays_d_unit, ray_norms, viewdirs,
+                         z, t=None):
         """Fused Pallas ray-march (ops/fused_raymarch.py) — the fast eval
-        path; numerics-equivalent to the XLA branch below (bf16 compute)."""
+        path; numerics-equivalent to the XLA branch below (bf16 compute).
+        ``t``: per-ray frame times (4-D kplanes); a render has ONE time,
+        so the kernel folds the space-time planes at t[0]."""
         from nerf_sandbox_tpu.core.encoding import encode_dirs
         from nerf_sandbox_tpu.ops.fused_raymarch import fused_raymarch
         vn = jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
@@ -121,6 +124,7 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
             scene_contraction=hyper.scene_contraction,
             kp_params=(params["pos_grid"] if kp else None),
             kp_cfg=(hyper.enc_cfg if kp else None),
+            kp_t=(t[0] if t is not None else None),
             interpret=hyper.pallas_interpret)
 
     if plan.mesh is not None:
@@ -132,7 +136,8 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
         data_axes = tuple(a for a in plan.mesh.axis_names if a != "model")
         spec_b = P(data_axes)
 
-        def fused_fwd(params, rays_o, rays_d_unit, ray_norms, viewdirs, z):
+        def fused_fwd(params, rays_o, rays_d_unit, ray_norms, viewdirs, z,
+                      t=None):
             # shard_map needs an EQUAL split over the data axes (unlike the
             # GSPMD-sharded XLA branch): pad uneven tiles by repeating the
             # last ray (real math, no 0-norm hazards) and slice back — the
@@ -149,12 +154,18 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
                 rays_o, rays_d_unit, ray_norms, viewdirs, z = (
                     padrow(rays_o), padrow(rays_d_unit), padrow(ray_norms),
                     padrow(viewdirs), padrow(z))
+                if t is not None:
+                    t = padrow(t)
             f = jax.shard_map(
-                _fused_fwd_local, mesh=plan.mesh,
-                in_specs=(P(), spec_b, spec_b, spec_b, spec_b, spec_b),
+                lambda p, ro, rd, rn, vd, zz, tt=None:
+                    _fused_fwd_local(p, ro, rd, rn, vd, zz, t=tt),
+                mesh=plan.mesh,
+                in_specs=(P(), spec_b, spec_b, spec_b, spec_b, spec_b)
+                         + (() if t is None else (spec_b,)),
                 out_specs=(spec_b, spec_b, spec_b, spec_b),
                 check_vma=False)
-            out = f(params, rays_o, rays_d_unit, ray_norms, viewdirs, z)
+            out = f(params, rays_o, rays_d_unit, ray_norms, viewdirs, z,
+                    *(() if t is None else (t,)))
             if pad:
                 out = tuple(o[:T] for o in out)
             return out
@@ -189,7 +200,7 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
 
         def forward_rays(params, ro, rd, rn, vd, z, rad=None, tt=None):
             if hyper.use_pallas:
-                return fused_fwd(params, ro, rd, rn, vd, z)
+                return fused_fwd(params, ro, rd, rn, vd, z, t=tt)
             return nerf_forward_pass(
                 params, hyper.model, ro, rd, z,
                 pos_bands=pos_bands, dir_bands=dir_bands,

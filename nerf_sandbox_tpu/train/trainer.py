@@ -816,13 +816,10 @@ class Trainer:
         from nerf_sandbox_tpu.ops.fused_mlp import fusable, pallas_available
         data_only = (self.plan.mesh is None
                      or "model" not in self.plan.mesh.axis_names)
-        # kplanes: the static (3-D) encode is fused in-kernel (one-hot
-        # matmul bilinear interps, VMEM-resident tables); 4-D space-time
-        # planes keep the XLA eval path
-        enc_ok = (self.pos_encoder == "freq"
-                  or (self.pos_encoder == "kplanes"
-                      and not int(getattr(self.enc_cfg, "time_res", 0)
-                                  or 0)))
+        # kplanes: the encode is fused in-kernel (one-hot matmul bilinear
+        # interps, VMEM-resident tables); 4-D space-time planes fold to
+        # the static encode at the render's fixed frame time
+        enc_ok = self.pos_encoder in ("freq", "kplanes")
         return bool(self.cfg.use_pallas and pallas_available()
                     and fusable(self.model_cfg)
                     and enc_ok

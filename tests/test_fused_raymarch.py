@@ -186,6 +186,64 @@ def test_fused_raymarch_kplanes_matches_xla():
                                    err_msg=name)
 
 
+def test_fused_raymarch_kplanes_dynamic_fixed_time():
+    """4-D space-time k-planes at a FIXED eval time == the XLA 4-D path:
+    the kernel folds the time planes into per-scale (R,F) tables and the
+    CP time line into line_x (an exact reduction — a render has one t)."""
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+    from nerf_sandbox_tpu.models.kplanes import (KPlanesConfig,
+                                                 init_kplanes_params)
+    _, dir_b = vanilla_encoders()
+    kp_cfg = KPlanesConfig(plane_res=(8, 16), plane_features=4, line_res=32,
+                           line_features=8, aabb_scale=2.0, time_res=6)
+    cfg = NeRFConfig(enc_pos_dim=kp_cfg.out_dim, enc_dir_dim=27,
+                     n_layers=4, hidden_dim=128, skip_pos=2)
+    k = jax.random.PRNGKey(9)
+    params = init_nerf_params(k, cfg)
+    params["pos_grid"] = init_kplanes_params(jax.random.fold_in(k, 1),
+                                             kp_cfg)
+    # break the neutral-1.0 init so time actually modulates features
+    for s in range(2):
+        for di, nm in enumerate(("xt", "yt", "zt")):
+            key = f"plane{s}_{nm}"
+            params["pos_grid"][key] = params["pos_grid"][key] + \
+                0.3 * jax.random.normal(jax.random.fold_in(k, 11 + 3 * s + di),
+                                        params["pos_grid"][key].shape)
+    o, d, norms, z = _rays(b=37, n=21, seed=13)
+    t_frame = 0.37
+    tvec = jnp.full((37,), t_frame, jnp.float32)
+    # finite last bin: with RANDOM params the 7-factor bf16 feature
+    # product (3 spatial + 3 folded-time + line) puts last-sample sigmas
+    # at the relu knife edge, and dt=1e10 amplifies a one-ulp rounding
+    # difference into weight 0 vs ~0.96 (same phenomenon the static
+    # renderer-level test documents; trained background sigma is
+    # decisively negative)
+    want = nerf_forward_pass(
+        params, cfg, o, d, z, pos_bands=jnp.zeros((0,)),
+        dir_bands=jnp.asarray(dir_b), white_bkgd=True,
+        ray_norms=norms, viewdirs_world_unit=d,
+        sigma_activation="relu", infinite_last_bin=False,
+        pos_encoder="kplanes", enc_cfg=kp_cfg, t=tvec,
+        compute_dtype=jnp.bfloat16)
+    enc_dir = positional_encoding(d, jnp.asarray(dir_b))
+    got = fused_raymarch(params, cfg, o, d, z, norms, enc_dir, None,
+                         kp_params=params["pos_grid"], kp_cfg=kp_cfg,
+                         kp_t=jnp.float32(t_frame),
+                         infinite_last_bin=False, interpret=True)
+    for g, w, name, tol in zip(got, want, ["comp", "w", "acc", "depth"],
+                               [2e-2, 2e-2, 2e-2, 0.1]):
+        g, w = np.asarray(g), np.asarray(w)
+        if name == "depth":
+            # depth = Σw·z / acc: near-empty rays divide bf16 noise by
+            # ~0 — compare the raw compositing quantity Σw·z instead
+            # (the 7-factor bf16 feature product makes per-weight noise
+            # ~1%, which low-acc division amplifies arbitrarily)
+            g = g * np.asarray(got[2])
+            w = w * np.asarray(want[2])
+            tol = 0.12        # = the 2e-2 weight tolerance × z_far 6
+        np.testing.assert_allclose(g, w, atol=tol, err_msg=name)
+
+
 def test_fused_raymarch_kplanes_hybrid_contracted():
     """The unbounded-360 winner's encode — kplanes + hybrid freq channels
     + scene contraction — through the fused kernel."""
