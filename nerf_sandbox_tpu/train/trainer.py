@@ -258,6 +258,12 @@ class Trainer:
             print(f"[cfg] note: --ipe applies to the freq (positional) "
                   f"encoder only; disabled for --encoder {self.pos_encoder}")
             self.ipe = False
+        if self.ipe and bool(getattr(cfg, "scene_contraction", False)):
+            print("[cfg] hint: --ipe widths come from the EUCLIDEAN pixel "
+                  "cone, but --scene_contraction warps the encoded coords "
+                  "— measured −0.2 dB (hier) to −5.3 dB (proposal) on 360 "
+                  "scenes vs +3.1 dB bounded (RESULTS.md 'Integrated "
+                  "positional encoding'); consider dropping --ipe here")
         # NeRF-W appearance codes (per TRAIN frame; eval folds a fixed code
         # into the color head — mlp.py:fold_appearance)
         self.app_dim = int(getattr(cfg, "appearance_dim", 0) or 0)
