@@ -188,7 +188,8 @@ def main():
     ap.add_argument("--frames", type=int, default=3)
     args = ap.parse_args()
 
-    if not list(Path(args.ckpt_dir).glob("checkpoints/*")):
+    if not args.skip_hier and \
+            not list(Path(args.ckpt_dir).glob("checkpoints/*")):
         print("[bench_eval] no checkpoint — training 3k vanilla steps first")
         _trainer_for(args.data_root, args.ckpt_dir)
 
