@@ -229,19 +229,40 @@ def integrated_positional_encoding(mean: jnp.ndarray, var_diag: jnp.ndarray,
     return enc
 
 
-def contract_gaussian_diag(mean: jnp.ndarray, var_diag: jnp.ndarray):
-    """Push a diagonal Gaussian through the scene contraction (mip-NeRF 360
-    eq. 8: the linearized warp f(mu) + J_f(mu)·(x-mu)).
+def contract_gaussian(mean: jnp.ndarray, d_unit: jnp.ndarray,
+                      t_var: jnp.ndarray, r_var: jnp.ndarray):
+    """Push a conical-frustum Gaussian through the scene contraction
+    (mip-NeRF 360 §3.3: the linearized warp f(mu) + J_f(mu)·(x-mu)),
+    keeping the covariance's RANK-ONE STRUCTURE exact.
 
-    diag(J Σ Jᵀ) with diagonal Σ is (J∘J)·σ² — exact under the
-    linearization. J is the contraction's analytic Jacobian via ``jacfwd``
-    (branchless, so one fused XLA program; 3 JVPs of VPU work per point).
+    The frustum Gaussian's covariance is Σ = t_var·ddᵀ + r_var·(I − ddᵀ)
+    (axial/radial, NOT world-axis-diagonal). The IPE needs
+    diag(J Σ Jᵀ) = t_var·(Jd)² + r_var·(rowsum(J∘J) − (Jd)²), which this
+    computes exactly under the linearization. Diagonalizing Σ in world
+    axes FIRST and then applying J∘J elementwise (the naive composition of
+    ``lift_gaussian_diag`` with a diagonal pushforward) drops the J_ij Σ_jk
+    J_ik cross terms; for a far radial background point that inflates the
+    contracted axial variance from the true O(Δt/r²) to O(Δt/r) — ~r× too
+    wide — so every band's IPE attenuation collapses to zero exactly where
+    contraction is supposed to preserve disparity-scaled detail (measured:
+    the round-4 contracted-IPE quality regressions, RESULTS.md "Integrated
+    positional encoding").
+
+    ``mean``: (B, N, 3) world-space frustum means; ``d_unit``: (B, 3) unit
+    ray directions; ``t_var``/``r_var``: (B, N). J is the contraction's
+    analytic Jacobian via ``jacfwd`` (branchless; 3 JVPs of VPU work per
+    point). Returns (contracted mean (B,N,3), var_diag (B,N,3)).
     """
     shape = mean.shape
     m = mean.reshape(-1, 3)
-    v = var_diag.reshape(-1, 3)
+    d = jnp.broadcast_to(d_unit[..., None, :], shape).reshape(-1, 3)
     J = jax.vmap(jax.jacfwd(scene_contract))(m)              # (Q, 3, 3)
-    new_v = jnp.einsum("qij,qj->qi", J ** 2, v)
+    Jd = jnp.einsum("qij,qj->qi", J, d)                      # (Q, 3)
+    row2 = jnp.sum(J * J, axis=-1)                           # (Q, 3)
+    tv = t_var.reshape(-1, 1)
+    rv = r_var.reshape(-1, 1)
+    # diag(J(I−ddᵀ)Jᵀ) = rowsum(J²) − (Jd)² ≥ 0; clamp the float dust
+    new_v = tv * Jd ** 2 + rv * jnp.maximum(row2 - Jd ** 2, 0.0)
     return scene_contract(m).reshape(shape), new_v.reshape(shape)
 
 

@@ -78,7 +78,7 @@ def nerf_forward_pass(
         assert pos_encoder == "freq", "IPE applies to the freq encoder only"
         assert radii is not None, "IPE needs per-ray pixel-cone radii"
         from nerf_sandbox_tpu.core.encoding import (
-            conical_frustum_moments, contract_gaussian_diag,
+            conical_frustum_moments, contract_gaussian,
             lift_gaussian_diag, z_to_intervals)
         lower, upper = z_to_intervals(z_metric)
         t_mean, t_var, r_var = conical_frustum_moments(
@@ -86,8 +86,10 @@ def nerf_forward_pass(
         mean, var = lift_gaussian_diag(rays_d_unit, t_mean, t_var, r_var,
                                        rays_o)
         if scene_contraction:
-            # linearized contraction of the Gaussian (mip-NeRF 360 eq. 8)
-            mean, var = contract_gaussian_diag(mean, var)
+            # linearized contraction of the Gaussian (mip-NeRF 360 §3.3),
+            # exact-diag via the axial/radial rank structure — see
+            # contract_gaussian's docstring for why diag-first is ~r× wrong
+            mean, var = contract_gaussian(mean, rays_d_unit, t_var, r_var)
         ipe_gaussian = (mean, var)
     elif scene_contraction:
         # mip-NeRF 360 contraction: encode in the radius-2 contracted ball

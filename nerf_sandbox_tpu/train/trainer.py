@@ -259,11 +259,10 @@ class Trainer:
                   f"encoder only; disabled for --encoder {self.pos_encoder}")
             self.ipe = False
         if self.ipe and bool(getattr(cfg, "scene_contraction", False)):
-            print("[cfg] hint: --ipe widths come from the EUCLIDEAN pixel "
-                  "cone, but --scene_contraction warps the encoded coords "
-                  "— measured −0.2 dB (hier) to −5.3 dB (proposal) on 360 "
-                  "scenes vs +3.1 dB bounded (RESULTS.md 'Integrated "
-                  "positional encoding'); consider dropping --ipe here")
+            print("[cfg] note: --ipe + --scene_contraction uses the exact "
+                  "rank-one Gaussian pushforward through the contraction "
+                  "Jacobian (core/encoding.py:contract_gaussian; RESULTS.md "
+                  "'Integrated positional encoding' for measured quality)")
         # NeRF-W appearance codes (per TRAIN frame; eval folds a fixed code
         # into the color head — mlp.py:fold_appearance)
         self.app_dim = int(getattr(cfg, "appearance_dim", 0) or 0)

@@ -14,7 +14,7 @@ import numpy as np
 import pytest
 
 from nerf_sandbox_tpu.core.encoding import (
-    conical_frustum_moments, contract_gaussian_diag,
+    conical_frustum_moments, contract_gaussian,
     integrated_positional_encoding, lift_gaussian_diag, make_frequency_bands,
     pixel_cone_radii, positional_encoding, scene_contract, vanilla_encoders,
     z_to_intervals)
@@ -119,25 +119,87 @@ def test_z_to_intervals_partition():
                                   np.asarray(hi[..., :-1]))
 
 
-def test_contract_gaussian_identity_inside_unit_ball():
+def _rand_frustum_gaussians(rng, n, r_lo=0.1, r_hi=20.0):
+    """Random (mean, d_unit, t_var, r_var) covering inside + far outside."""
+    d = rng.standard_normal((n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    radius = rng.uniform(r_lo, r_hi, (n, 1))
+    u = rng.standard_normal((n, 3))
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    mean = (u * radius)[:, None, :]                      # (n, 1, 3)
+    t_var = rng.uniform(1e-4, 0.5, (n, 1)).astype(np.float32)
+    r_var = rng.uniform(1e-5, 0.05, (n, 1)).astype(np.float32)
+    return (jnp.asarray(mean, jnp.float32), jnp.asarray(d, jnp.float32),
+            jnp.asarray(t_var), jnp.asarray(r_var))
+
+
+def test_contract_gaussian_matches_dense_jacobian_oracle():
+    """diag(J Σ Jᵀ) via the rank-one structure == the dense computation
+    with the full Σ = t_var·ddᵀ + r_var·(I − ddᵀ) — exact, not approximate."""
     rng = np.random.default_rng(3)
-    mean = jnp.asarray(rng.uniform(-0.5, 0.5, (16, 3)), jnp.float32)
-    var = jnp.asarray(rng.uniform(0.001, 0.01, (16, 3)), jnp.float32)
-    m2, v2 = contract_gaussian_diag(mean, var)
+    mean, d, t_var, r_var = _rand_frustum_gaussians(rng, 64)
+    m2, v2 = contract_gaussian(mean, d, t_var, r_var)
+    # dense oracle in float64
+    m = np.asarray(mean, np.float64).reshape(-1, 3)
+    dd = np.asarray(d, np.float64)
+    J = np.asarray(jax.vmap(jax.jacfwd(scene_contract))(
+        jnp.asarray(m, jnp.float32)), np.float64)
+    eye = np.eye(3)[None]
+    sigma = (np.asarray(t_var, np.float64)[..., None]
+             * (dd[:, :, None] * dd[:, None, :])
+             + np.asarray(r_var, np.float64)[..., None]
+             * (eye - dd[:, :, None] * dd[:, None, :]))
+    dense = np.einsum("qij,qjk,qik->qi", J, sigma, J)
+    np.testing.assert_allclose(np.asarray(v2).reshape(-1, 3), dense,
+                               rtol=2e-4, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(m2).reshape(-1, 3),
+                               np.asarray(scene_contract(mean)).reshape(-1, 3),
+                               rtol=1e-6)
+
+
+def test_contract_gaussian_identity_inside_unit_ball():
+    """Inside the unit ball J = I, so the pushforward reduces bitwise to
+    the unconctracted lift: var = t_var·d² + r_var·(1 − d²)."""
+    rng = np.random.default_rng(4)
+    mean, d, t_var, r_var = _rand_frustum_gaussians(rng, 16, r_lo=0.05,
+                                                    r_hi=0.8)
+    m2, v2 = contract_gaussian(mean, d, t_var, r_var)
+    want = (t_var[..., None] * np.asarray(d)[:, None, :] ** 2
+            + r_var[..., None] * (1.0 - np.asarray(d)[:, None, :] ** 2))
     np.testing.assert_allclose(np.asarray(m2), np.asarray(mean), atol=1e-6)
-    np.testing.assert_allclose(np.asarray(v2), np.asarray(var), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(want), rtol=1e-5)
 
 
-def test_contract_gaussian_outside_shrinks_variance():
-    """Far content compresses into the [1,2) shell: the mean contracts and
-    the variance shrinks (|J| < 1 out there), staying positive."""
-    mean = jnp.asarray([[0.0, 0.0, 30.0], [5.0, -5.0, 5.0]], jnp.float32)
-    var = jnp.full((2, 3), 0.25, jnp.float32)
-    m2, v2 = contract_gaussian_diag(mean, var)
-    np.testing.assert_allclose(np.asarray(m2), np.asarray(scene_contract(mean)),
-                               rtol=1e-5)
-    assert np.all(np.asarray(v2) > 0)
-    assert np.all(np.asarray(v2) < np.asarray(var))
+def test_contract_gaussian_radial_far_field_stays_narrow():
+    """THE defect the rank-one pushforward fixes: a far radial frustum's
+    contracted axial variance is O(t_var/r⁴). Diagonalizing Σ in WORLD axes
+    first and then applying J∘J (the pre-round-4 composition) mixes the big
+    tangential eigenvalue into the axial term whenever the ray isn't
+    axis-aligned — ~100×+ too wide here, wide enough to wipe every IPE band.
+
+    Analytic oracle: at radius r with radial direction r̂ = (1,1,1)/√3,
+    J = λr·r̂r̂ᵀ + λt·(I − r̂r̂ᵀ) with λr = 1/r², λt = (2 − 1/r)/r, so the
+    exact diag is t_var·λr²/3 + r_var·2λt²/3 on every axis."""
+    r = 16.0
+    rhat = np.full(3, 1.0 / np.sqrt(3.0), np.float32)
+    mean = jnp.asarray(rhat * r, jnp.float32)[None, None, :]
+    d = jnp.asarray(rhat)[None, :]                           # radial ray
+    t_var = jnp.asarray([[0.25]], jnp.float32)
+    r_var = jnp.asarray([[1e-4]], jnp.float32)
+    _, v2 = contract_gaussian(mean, d, t_var, r_var)
+    lam_r, lam_t = 1.0 / r ** 2, (2.0 - 1.0 / r) / r
+    want = 0.25 * lam_r ** 2 / 3.0 + 1e-4 * 2.0 * lam_t ** 2 / 3.0
+    np.testing.assert_allclose(np.asarray(v2)[0, 0], want, rtol=1e-3)
+    # the old approximation for the same Gaussian: J²·(t_var·d² + r_var(1−d²))
+    J = np.asarray(jax.jacfwd(scene_contract)(mean[0, 0]))
+    diag_world = np.asarray(t_var[0, 0] * rhat ** 2
+                            + r_var[0, 0] * (1.0 - rhat ** 2))
+    approx = (J ** 2) @ diag_world
+    assert np.all(approx > 100.0 * np.asarray(v2)[0, 0])
+    # variances stay positive and the mean contracts into the shell
+    assert np.all(np.asarray(v2) >= 0)
+    m2, _ = contract_gaussian(mean, d, t_var, r_var)
+    assert 1.0 < float(jnp.linalg.norm(m2[0, 0])) < 2.0
 
 
 def test_pixel_cone_radii():
