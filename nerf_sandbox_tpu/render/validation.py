@@ -367,7 +367,10 @@ class ValidationRenderer:
                        use_mask="auto", save_images: bool = True,
                        pose_refiner=None, refine_steps: int = 0,
                        refine_lr: float = 5e-3,
-                       refine_rays: int = 1024) -> dict:
+                       refine_rays: int = 1024,
+                       app_refiner=None, app_refine_steps: int = 0,
+                       app_refine_lr: float = 1e-2,
+                       app_refine_rays: int = 1024) -> dict:
         """Full held-out-split evaluation: render every frame (or
         ``indices``), save un-tagged triplets, and write ``metrics.json``
         with per-frame + mean PSNR/SSIM.
@@ -381,6 +384,14 @@ class ValidationRenderer:
         alignment (render/pose_refine.py): each camera's se3 delta is
         optimized against the frozen fine model before rendering, so
         --pose_opt runs are scored on reconstruction, not gauge drift.
+
+        ``app_refiner`` + ``app_refine_steps`` enable the NeRF-W per-image
+        appearance protocol (render/app_refine.py): each frame's
+        appearance code is optimized on the LEFT half of its pixels, the
+        frame renders with that code folded in, and the record carries a
+        ``psnr_heldout_half`` scored on the RIGHT half only — the honest
+        metric the protocol reports (the code cannot leak content across
+        the split, only per-frame photometric state).
         """
         if indices is None:
             idxs = list(range(len(self.scene.frames)))
@@ -410,7 +421,21 @@ class ValidationRenderer:
                 print(f"[EVAL] {split_name}[{fid}] pose refined: "
                       f"mse {refine_info['mse_init']:.5f} -> "
                       f"{refine_info['mse_final']:.5f}")
-            res = self._render_pose(params_c, params_f, c2w, H, W, K,
+            pf_frame, app_info = params_f, None
+            if app_refiner is not None and app_refine_steps > 0:
+                gt_r, _ = self._gt_for_frame(fid, (H, W), use_mask=False)
+                pf_frame, app_info = app_refiner(
+                    c2w, K, H, W, gt_r,
+                    use_ndc=self.use_ndc, convention=self.convention,
+                    near_plane=(self.ndc_near_plane_world if self.use_ndc
+                                else self.near_world),
+                    steps=int(app_refine_steps), lr=float(app_refine_lr),
+                    rays=int(app_refine_rays), seed=fid,
+                    time=float(fr.time or 0.0))
+                print(f"[EVAL] {split_name}[{fid}] appearance refined: "
+                      f"mse {app_info['mse_init']:.5f} -> "
+                      f"{app_info['mse_final']:.5f}")
+            res = self._render_pose(params_c, pf_frame, c2w, H, W, K,
                                     time=fr.time)
             if save_images:
                 name = f"frame_{fid:04d}.png"
@@ -435,6 +460,17 @@ class ValidationRenderer:
                     "delta_norm": float(np.linalg.norm(refine_info["delta"])),
                     "mse_init": refine_info["mse_init"],
                     "mse_final": refine_info["mse_final"]}
+            if app_info is not None:
+                # the protocol's honest metric: the code was tuned on the
+                # LEFT half, so score the RIGHT half only
+                half = W // 2
+                rec["psnr_heldout_half"] = compute_psnr(
+                    res["rgb"][:, half:], gt[:, half:],
+                    mask[:, half:] if m is not None else None)
+                rec["app_refine"] = {
+                    "code_delta_norm": app_info["code_delta_norm"],
+                    "mse_init": app_info["mse_init"],
+                    "mse_final": app_info["mse_final"]}
             frames.append(rec)
             print(f"[EVAL] {split_name}[{fid}] psnr={rec['psnr']:.2f} "
                   f"ssim={rec['ssim']:.4f}")
@@ -450,6 +486,10 @@ class ValidationRenderer:
                           if frames else None),
             "frames": frames,
         }
+        hh = [f["psnr_heldout_half"] for f in frames
+              if "psnr_heldout_half" in f]
+        if hh:
+            metrics["psnr_heldout_half_mean"] = float(np.mean(hh))
         (self.out_dir / "metrics.json").write_text(
             json.dumps(metrics, indent=2))
         return metrics

@@ -63,6 +63,16 @@ def main(argv=None):
                          "evaluation protocol for --pose_opt runs)")
     ap.add_argument("--refine_pose_lr", type=float, default=5e-3)
     ap.add_argument("--refine_pose_rays", type=int, default=1024)
+    ap.add_argument("--refine_appearance", type=int, default=0,
+                    metavar="STEPS",
+                    help="NeRF-W per-image appearance protocol: optimize "
+                         "each eval frame's appearance code on the LEFT "
+                         "half of its pixels for STEPS Adam steps, render "
+                         "with it folded in, and report psnr_heldout_half "
+                         "on the RIGHT half (needs --appearance_dim > 0 "
+                         "at train time)")
+    ap.add_argument("--refine_appearance_lr", type=float, default=1e-2)
+    ap.add_argument("--refine_appearance_rays", type=int, default=1024)
     args, extra = ap.parse_known_args(argv)
 
     from nerf_sandbox_tpu.config import (apply_path_defaults,
@@ -128,6 +138,17 @@ def main(argv=None):
         from nerf_sandbox_tpu.render.pose_refine import make_pose_refiner
         refiner = make_pose_refiner(tr.eval_hyper, tr.pos_bands,
                                     tr.dir_bands)
+    app_refiner = None
+    if args.refine_appearance > 0:
+        if not tr.app_dim:
+            print("[EVAL] ERROR: --refine_appearance needs a run trained "
+                  "with --appearance_dim > 0", file=sys.stderr)
+            sys.exit(2)
+        from nerf_sandbox_tpu.render.app_refine import make_appearance_refiner
+        app_refiner = make_appearance_refiner(
+            tr.eval_hyper, tr.pos_bands, tr.dir_bands,
+            model_cfg=tr.model_cfg, params_f_raw=tr.state.params_f,
+            code0=tr._eval_app_vec())
     pc, pf = tr.eval_params()
     metrics = valr.evaluate_split(pc, pf, indices=indices,
                                   res_scale=args.res_scale,
@@ -136,7 +157,11 @@ def main(argv=None):
                                   pose_refiner=refiner,
                                   refine_steps=args.refine_pose,
                                   refine_lr=args.refine_pose_lr,
-                                  refine_rays=args.refine_pose_rays)
+                                  refine_rays=args.refine_pose_rays,
+                                  app_refiner=app_refiner,
+                                  app_refine_steps=args.refine_appearance,
+                                  app_refine_lr=args.refine_appearance_lr,
+                                  app_refine_rays=args.refine_appearance_rays)
     metrics["step"] = int(step)
     metrics["out_dir"] = str(eval_out)
     (eval_out / "metrics.json").write_text(json.dumps(metrics, indent=2))

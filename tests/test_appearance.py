@@ -217,3 +217,91 @@ def test_eval_appearance_validation(tmp_path):
                                   np.asarray(tr1.state.params_f["app_emb"])[1])
     with pytest.raises(ValueError):
         Trainer(mk(base + ["--eval_appearance", "7"]))
+
+
+# ---------------------------------------------------------------------------
+# Per-image test-time appearance refinement (NeRF-W eval protocol;
+# render/app_refine.py): the eval frame's code is optimized on the LEFT
+# half of its pixels against the frozen model, rendered folded-in, and
+# scored on the RIGHT half (psnr_heldout_half).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def app_refine_setup(tmp_path_factory):
+    """Train ONCE (tiny shapes, --appearance_dim 4) and return the frozen
+    trainer; shared by the code-recovery and eval-CLI tests."""
+    from tests.test_loaders import _make_blender
+    tmp = tmp_path_factory.mktemp("app_refine")
+    root = _make_blender(tmp / "scene", n_frames=3, size=16)
+    out = tmp / "exp"
+    argv = ["--data_root", str(root), "--out_dir", str(out),
+            "--data_kind", "blender", "--appearance_dim", "4",
+            "--n_layers", "2", "--hidden_dim", "32", "--skip_pos", "1",
+            "--rays_per_batch", "64", "--nc", "8", "--nf", "8",
+            "--eval_chunk", "256", "--white_bkgd", "true",
+            "--mesh_devices", "1"]
+    from nerf_sandbox_tpu.scripts.train_nerf import main
+    main(argv + ["--max_steps", "40", "--ckpt_every", "40",
+                 "--log_every", "40", "--num_val_steps", "1",
+                 "--progress_frames", "0"])
+    from nerf_sandbox_tpu.config import (apply_path_defaults,
+                                         build_argparser, make_cfg_from_args)
+    from nerf_sandbox_tpu.train.trainer import Trainer
+    cfg = apply_path_defaults(
+        make_cfg_from_args(build_argparser().parse_args(argv)), "blender")
+    tr = Trainer(cfg)
+    tr.load_latest_checkpoint(load_optim=False)
+    return tr, cfg
+
+
+def test_appearance_refiner_recovers_code(app_refine_setup):
+    """gt rendered with a TARGET code c*: refining from the zero code must
+    reduce the photometric surrogate AND make the full render measurably
+    closer to gt than the zero-code render."""
+    tr, cfg = app_refine_setup
+    from nerf_sandbox_tpu.render.app_refine import make_appearance_refiner
+    fr = tr.scene_val.frames[0]
+    K = np.asarray(fr.K, np.float32)
+    c_star = np.array([1.0, -1.0, 0.5, -0.5], np.float32)
+    pf_star, _ = fold_appearance(tr.state.params_f, tr.model_cfg, c_star)
+    pc, _ = tr.eval_params()
+    gt = np.asarray(tr.valr._render_pose(pc, pf_star, fr.c2w, fr.H, fr.W,
+                                         K)["rgb"])
+    code0 = np.zeros(4, np.float32)
+    refiner = make_appearance_refiner(
+        tr.eval_hyper, tr.pos_bands, tr.dir_bands, model_cfg=tr.model_cfg,
+        params_f_raw=tr.state.params_f, code0=code0)
+    folded, info = refiner(fr.c2w, K, fr.H, fr.W, gt, steps=100, lr=5e-2,
+                           rays=256, seed=0)
+    assert np.isfinite(info["mse_init"]) and np.isfinite(info["mse_final"])
+    assert info["mse_final"] < info["mse_init"], info
+    assert info["code_delta_norm"] > 1e-3
+    pf0, _ = fold_appearance(tr.state.params_f, tr.model_cfg, code0)
+    r0 = np.asarray(tr.valr._render_pose(pc, pf0, fr.c2w, fr.H, fr.W,
+                                         K)["rgb"])
+    r1 = np.asarray(tr.valr._render_pose(pc, folded, fr.c2w, fr.H, fr.W,
+                                         K)["rgb"])
+    mse0 = float(np.mean((r0 - gt) ** 2))
+    mse1 = float(np.mean((r1 - gt) ** 2))
+    assert mse1 < 0.5 * mse0, (mse1, mse0)
+
+
+def test_eval_nerf_refine_appearance_cli(app_refine_setup):
+    """nerf-tpu-eval --refine_appearance: metrics.json carries the
+    half-image protocol fields; a code-free run fails loudly."""
+    tr, cfg = app_refine_setup
+    from pathlib import Path
+
+    from nerf_sandbox_tpu.scripts.eval_nerf import main as eval_main
+    out = Path(cfg.out_dir)
+    eval_main(["--data_root", cfg.data_root, "--out_dir", str(out),
+               "--split", "train", "--indices", "0", "--no_images",
+               "--eval_out", str(out / "eval_app"),
+               "--refine_appearance", "10",
+               "--refine_appearance_rays", "64"])
+    m = json.loads((out / "eval_app" / "metrics.json").read_text())
+    assert "psnr_heldout_half_mean" in m
+    rec = m["frames"][0]
+    assert np.isfinite(rec["psnr_heldout_half"])
+    ar = rec["app_refine"]
+    assert np.isfinite(ar["mse_final"]) and np.isfinite(ar["mse_init"])
