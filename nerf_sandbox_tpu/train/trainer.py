@@ -1245,7 +1245,11 @@ class Trainer:
         try:
             while step < max_steps:
                 occ_args = (self.occ_grid,) if occupancy else ()
-                if chunk_step is not None and step + scan <= _next_boundary(step + 1):
+                # chunking engages after step 100: the first-100-step
+                # ray-norm diagnostics (reference parity) stay per-step,
+                # and sub-100-step smoke runs behave identically to scan=1
+                if chunk_step is not None and step >= 100 and \
+                        step + scan <= _next_boundary(step + 1):
                     self.state, metrics = chunk_step(self.state, self.scene_arrays,
                                                      *occ_args)
                     step += scan

@@ -259,7 +259,7 @@ def main():
                         extra=["--sampling", "occupancy",
                                "--encoder", "kplanes", *kp_extra,
                                "--eval_kp_pool", str(pool)],
-                        vanilla=not kp_extra)
+                        vanilla=False, use_saved=True)
             results.append(_bench_variant(
                 trp, trp.eval_hyper._replace(use_pallas=False),
                 f"kplanes+occupancy eval, planes pooled {pool}x",

@@ -6,22 +6,27 @@ from tests.test_loaders import _make_blender
 
 
 def test_cli_scan_steps_hits_boundaries(tmp_path):
+    """Chunking engages only after step 100 (the first-100-step diagnostic
+    window stays per-step); boundaries must remain step-exact both inside
+    and beyond the gated region."""
     from nerf_sandbox_tpu.scripts.train_nerf import main
     scene = _make_blender(tmp_path / "scene", n_frames=2, size=16)
     out = tmp_path / "exp"
     main(["--data_root", str(scene), "--out_dir", str(out),
-          "--data_kind", "blender", "--scan_steps", "4",
-          "--max_steps", "10", "--rays_per_batch", "32", "--nc", "4",
-          "--nf", "4", "--val_every", "5", "--ckpt_every", "5",
-          "--log_every", "2", "--progress_frames", "2",
+          "--data_kind", "blender", "--scan_steps", "8",
+          "--max_steps", "120", "--rays_per_batch", "32", "--nc", "4",
+          "--nf", "4", "--val_every", "105", "--ckpt_every", "105",
+          "--log_every", "50", "--progress_frames", "2",
           "--eval_chunk", "128"])
-    # checkpoints exactly at the 5-step boundaries despite scan=4
-    assert (out / "checkpoints" / "ckpt_0000005.ckpt").exists()
-    assert (out / "checkpoints" / "ckpt_0000010.ckpt").exists()
-    # validation fired at steps 5 and 10
+    # ckpt/val exactly at the 105-step boundary despite scan=8 chunks
+    # running past step 100, and the end-of-run boundary at 120
+    assert (out / "checkpoints" / "ckpt_0000105.ckpt").exists()
     val = out / "validation" / "val_idx0000" / "rgb"
     steps = sorted(p.name for p in val.glob("step_*.png"))
-    assert steps == ["step_0000005.png", "step_0000010.png"]
+    assert "step_0000105.png" in steps
+    # no off-boundary validation leaked out of a scan chunk
+    assert all(int(s[5:12]) % 105 == 0 or int(s[5:12]) == 120
+               for s in steps), steps
 
 
 def test_scan_chunk_equals_singles():
