@@ -462,11 +462,16 @@ class ValidationRenderer:
                     "mse_final": refine_info["mse_final"]}
             if app_info is not None:
                 # the protocol's honest metric: the code was tuned on the
-                # LEFT half, so score the RIGHT half only
+                # LEFT half, so score the RIGHT half only — and it becomes
+                # the frame's PRIMARY psnr (the full-image number is
+                # contaminated by the tuned half; ADVICE r4). The full-image
+                # value stays available as psnr_full_refined.
                 half = W // 2
                 rec["psnr_heldout_half"] = compute_psnr(
                     res["rgb"][:, half:], gt[:, half:],
                     mask[:, half:] if m is not None else None)
+                rec["psnr_full_refined"] = rec["psnr"]
+                rec["psnr"] = rec["psnr_heldout_half"]
                 rec["app_refine"] = {
                     "code_delta_norm": app_info["code_delta_norm"],
                     "mse_init": app_info["mse_init"],
@@ -489,7 +494,14 @@ class ValidationRenderer:
         hh = [f["psnr_heldout_half"] for f in frames
               if "psnr_heldout_half" in f]
         if hh:
+            # psnr_mean above already averages the heldout-half primaries;
+            # the explicit flag keeps it from being read as a full-image
+            # number comparable to unrefined runs (ADVICE r4)
+            metrics["appearance_refined"] = True
             metrics["psnr_heldout_half_mean"] = float(np.mean(hh))
+            metrics["psnr_full_refined_mean"] = float(np.mean(
+                [f["psnr_full_refined"] for f in frames
+                 if "psnr_full_refined" in f]))
         (self.out_dir / "metrics.json").write_text(
             json.dumps(metrics, indent=2))
         return metrics

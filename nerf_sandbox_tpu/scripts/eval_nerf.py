@@ -145,9 +145,15 @@ def main(argv=None):
                   "with --appearance_dim > 0", file=sys.stderr)
             sys.exit(2)
         from nerf_sandbox_tpu.render.app_refine import make_appearance_refiner
+        # pool BEFORE refining: eval_hyper.enc_cfg is the POOLED config when
+        # --eval_kp_pool > 1, so the refiner's forward (and the tile renderer
+        # receiving its folded output) must see pooled plane tables; pooling
+        # only touches pos_grid and fold_appearance only color_fc, so the two
+        # compose (mirrors eval_params(); ADVICE r4 medium)
         app_refiner = make_appearance_refiner(
             tr.eval_hyper, tr.pos_bands, tr.dir_bands,
-            model_cfg=tr.model_cfg, params_f_raw=tr.state.params_f,
+            model_cfg=tr.model_cfg,
+            params_f_raw=tr._pool_eval_grid(tr.state.params_f),
             code0=tr._eval_app_vec())
     pc, pf = tr.eval_params()
     metrics = valr.evaluate_split(pc, pf, indices=indices,

@@ -259,10 +259,12 @@ class Trainer:
                   f"encoder only; disabled for --encoder {self.pos_encoder}")
             self.ipe = False
         if self.ipe and bool(getattr(cfg, "scene_contraction", False)):
-            print("[cfg] note: --ipe + --scene_contraction uses the exact "
-                  "rank-one Gaussian pushforward through the contraction "
-                  "Jacobian (core/encoding.py:contract_gaussian; RESULTS.md "
-                  "'Integrated positional encoding' for measured quality)")
+            print("[cfg] WARNING: --ipe + --scene_contraction MEASURED to "
+                  "lose 3.5-5.4 dB vs plain PE on unbounded-360 scenes even "
+                  "with the exact rank-one Gaussian pushforward "
+                  "(core/encoding.py:contract_gaussian; RESULTS.md "
+                  "'Integrated positional encoding'). --ipe is a BOUNDED-"
+                  "scene win (+3.1 dB); consider dropping it here")
         # NeRF-W appearance codes (per TRAIN frame; eval folds a fixed code
         # into the color head — mlp.py:fold_appearance)
         self.app_dim = int(getattr(cfg, "appearance_dim", 0) or 0)
@@ -1206,10 +1208,21 @@ class Trainer:
         # falls inside the chunk.  Boundaries remain step-exact.
         scan = max(1, int(getattr(cfg, "scan_steps", 1) or 1))
         chunk_step = None
+        # the default-config warm-up gate (chunking from step 101, keeping
+        # the first-100-step ray-norm diagnostics per-step) applies only
+        # when scan_steps was LEFT AT its default; an explicit --scan_steps
+        # engages from step 1 so short runs honor the flag (ADVICE r4)
+        from nerf_sandbox_tpu.config import Config as _Cfg
+        scan_from = 1 if scan != int(_Cfg.scan_steps) else 101
         if scan > 1:
             chunk_step = build_train_step(
                 self.hyper, self.spec, self.tx, self.pos_bands, self.dir_bands,
                 plan=self.plan, base_seed=cfg.seed, scan_steps=scan)
+            if scan_from > 1:
+                print(f"[cfg] scan_steps={scan} (default): step chunking "
+                      f"engages at step {scan_from} (first-100-step "
+                      "diagnostics stay per-step; pass --scan_steps "
+                      "explicitly to chunk from step 1)")
 
         occupancy = self.sampling_mode == "occupancy"
         if occupancy and start_step > 1 and \
@@ -1245,10 +1258,12 @@ class Trainer:
         try:
             while step < max_steps:
                 occ_args = (self.occ_grid,) if occupancy else ()
-                # chunking engages after step 100: the first-100-step
-                # ray-norm diagnostics (reference parity) stay per-step,
-                # and sub-100-step smoke runs behave identically to scan=1
-                if chunk_step is not None and step >= 100 and \
+                # default scan: chunking engages after step 100 so the
+                # first-100-step ray-norm diagnostics (reference parity)
+                # stay per-step and sub-100-step smoke runs behave
+                # identically to scan=1; explicit --scan_steps chunks from
+                # step 1 (scan_from above)
+                if chunk_step is not None and step >= scan_from - 1 and \
                         step + scan <= _next_boundary(step + 1):
                     self.state, metrics = chunk_step(self.state, self.scene_arrays,
                                                      *occ_args)

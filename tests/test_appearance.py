@@ -301,7 +301,13 @@ def test_eval_nerf_refine_appearance_cli(app_refine_setup):
                "--refine_appearance_rays", "64"])
     m = json.loads((out / "eval_app" / "metrics.json").read_text())
     assert "psnr_heldout_half_mean" in m
+    # the refined-protocol flag + primary-metric semantics (ADVICE r4):
+    # psnr must BE the heldout-half number, not the contaminated full image
+    assert m.get("appearance_refined") is True
+    assert "psnr_full_refined_mean" in m
     rec = m["frames"][0]
     assert np.isfinite(rec["psnr_heldout_half"])
+    assert rec["psnr"] == rec["psnr_heldout_half"]
+    assert "psnr_full_refined" in rec
     ar = rec["app_refine"]
     assert np.isfinite(ar["mse_final"]) and np.isfinite(ar["mse_init"])

@@ -6,9 +6,9 @@ from tests.test_loaders import _make_blender
 
 
 def test_cli_scan_steps_hits_boundaries(tmp_path):
-    """Chunking engages only after step 100 (the first-100-step diagnostic
-    window stays per-step); boundaries must remain step-exact both inside
-    and beyond the gated region."""
+    """An EXPLICIT --scan_steps chunks from step 1 (the step-100 warm-up
+    gate applies only to the default value — ADVICE r4); boundaries must
+    remain step-exact everywhere."""
     from nerf_sandbox_tpu.scripts.train_nerf import main
     scene = _make_blender(tmp_path / "scene", n_frames=2, size=16)
     out = tmp_path / "exp"
