@@ -227,10 +227,18 @@ def _kernel(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
             *tail, skip_pos: int, n_layers: int,
             hidden: int, softplus_sigma: bool, white_bkgd: bool,
             n_chunks: int, n_rays: int, log_eps, contract: bool,
-            kp_meta, ep_pad: int, chunk_n: int):
+            kp_meta, ep_pad: int, chunk_n: int, ipe: bool = False):
+    ipe_refs = None
     if kp_meta is not None:
         kp_refs = tail[:-5]
         out_ray, out_wt, state, pts3_s, enc_s = tail[-5:]
+    elif ipe:
+        # IPE extras (freq encoder only): F2 band² const + per-(sample,ray)
+        # frustum midpoint/half-width streams (module docstring, IPE note)
+        kp_refs = ()
+        ipe_refs = tail[:3]
+        out_ray, out_wt, state = tail[3:]
+        pts3_s = enc_s = None
     else:
         kp_refs, (out_ray, out_wt, state) = tail[:-3], tail[-3:]
         pts3_s = enc_s = None
@@ -269,7 +277,8 @@ def _kernel(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
                 pts3_s, enc_s,
                 skip_pos=skip_pos, n_layers=n_layers, hidden=hidden,
                 softplus_sigma=softplus_sigma, contract=contract,
-                kp_meta=kp_meta, ep_pad=ep_pad, chunk_n=chunk_n)
+                kp_meta=kp_meta, ep_pad=ep_pad, chunk_n=chunk_n,
+                ipe_refs=ipe_refs)
     else:
         _kernel_chunk_body(
             geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
@@ -278,7 +287,8 @@ def _kernel(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
             pts3_s, enc_s,
             skip_pos=skip_pos, n_layers=n_layers, hidden=hidden,
             softplus_sigma=softplus_sigma, contract=contract,
-            kp_meta=kp_meta, ep_pad=ep_pad, chunk_n=chunk_n)
+            kp_meta=kp_meta, ep_pad=ep_pad, chunk_n=chunk_n,
+            ipe_refs=ipe_refs)
 
     @pl.when(j == n_chunks - 1)
     def _():
@@ -297,7 +307,8 @@ def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
                        kp_refs, out_wt, state, pts3_s, enc_s, *,
                        skip_pos: int,
                        n_layers: int, hidden: int, softplus_sigma: bool,
-                       contract: bool, kp_meta, ep_pad: int, chunk_n: int):
+                       contract: bool, kp_meta, ep_pad: int, chunk_n: int,
+                       ipe_refs=None):
     f32 = jnp.float32
     Q = TILE_R * chunk_n
 
@@ -325,17 +336,18 @@ def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
     z_rows = jnp.dot(S, z_tr, preferred_element_type=f32)        # (Q, T_R)
     z_q = jnp.sum(z_rows * onehot, axis=1, keepdims=True)        # (Q, 1)
 
-    zm_q = z_q * g_q[:, 6:7]                               # z * ||d||
-    pts3 = g_q[:, 0:3] + g_q[:, 3:6] * zm_q                # (Q, 3) f32
+    if ipe_refs is None:
+        zm_q = z_q * g_q[:, 6:7]                           # z * ||d||
+        pts3 = g_q[:, 0:3] + g_q[:, 3:6] * zm_q            # (Q, 3) f32
 
-    if contract:
-        # mip-NeRF 360 scene contraction (core/encoding.py scene_contract,
-        # eq. 10): elementwise VPU map on marching points, branchless —
-        # identical math to the XLA eval path (z/dt stay metric; only the
-        # encoder sees warped coordinates).
-        n = jnp.sqrt(jnp.sum(pts3 * pts3, axis=1, keepdims=True))
-        n = jnp.maximum(n, 1e-9)
-        pts3 = jnp.where(n <= 1.0, pts3, (2.0 - 1.0 / n) * (pts3 / n))
+        if contract:
+            # mip-NeRF 360 scene contraction (core/encoding.py
+            # scene_contract, eq. 10): elementwise VPU map on marching
+            # points, branchless — identical math to the XLA eval path
+            # (z/dt stay metric; only the encoder sees warped coordinates).
+            n = jnp.sqrt(jnp.sum(pts3 * pts3, axis=1, keepdims=True))
+            n = jnp.maximum(n, 1e-9)
+            pts3 = jnp.where(n <= 1.0, pts3, (2.0 - 1.0 / n) * (pts3 / n))
 
     # ---- positional encode (f32 args; bf16 features) ----
     if kp_meta is not None:
@@ -354,6 +366,61 @@ def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
 
         jax.lax.fori_loop(0, n_sub, _enc_sub, 0)
         enc_pos = enc_s[:]
+    elif ipe_refs is not None:
+        # mip-NeRF integrated positional encoding, in-kernel (VERDICT r4
+        # #4). Streams: per-(sample,ray) frustum interval midpoint mu and
+        # half-width hw (METRIC units, computed outside — z_to_intervals
+        # needs cross-chunk neighbours); per-ray pixel-cone radius rides
+        # geom[:,7]. Everything below is elementwise VPU work mirroring
+        # core/encoding.py conical_frustum_moments / lift_gaussian_diag /
+        # contract_gaussian exactly, then ONE extra (Q,3)x(3,EP_PAD)
+        # matmul for the per-band attenuation exponent.
+        F2, mu_ref, hw_ref = ipe_refs
+        mu_q = jnp.sum(jnp.dot(S, mu_ref[:], preferred_element_type=f32)
+                       * onehot, axis=1, keepdims=True)     # (Q, 1)
+        hw_q = jnp.sum(jnp.dot(S, hw_ref[:], preferred_element_type=f32)
+                       * onehot, axis=1, keepdims=True)
+        # conical_frustum_moments (mip-NeRF eq. 7; encoding.py:167-187)
+        denom = 3.0 * mu_q * mu_q + hw_q * hw_q
+        t_mean = mu_q + (2.0 * mu_q * hw_q ** 2) / denom
+        t_var = hw_q ** 2 / 3.0 - (4.0 / 15.0) * (
+            (hw_q ** 4 * (12.0 * mu_q ** 2 - hw_q ** 2)) / denom ** 2)
+        rad = g_q[:, 7:8]
+        r_var = rad ** 2 * (mu_q ** 2 / 4.0 + (5.0 / 12.0) * hw_q ** 2
+                            - (4.0 / 15.0) * hw_q ** 4 / denom)
+        d = g_q[:, 3:6]
+        mean = g_q[:, 0:3] + d * t_mean                     # (Q, 3)
+        if contract:
+            # exact rank-one pushforward (encoding.py:contract_gaussian)
+            # with the CLOSED-FORM contraction Jacobian: for n = ||x|| > 1,
+            # J = s·I + c·xxᵀ where s = 2/n − 1/n², c = 2(1−n)/n⁴;
+            # J = I inside the unit ball.  diag(JΣJᵀ) needs only
+            # Jd = s·d + c·x(x·d) and rowsum(J∘J) = s² + 2scx² + c²x²n².
+            x = mean
+            n2 = jnp.maximum(jnp.sum(x * x, axis=1, keepdims=True), 1e-18)
+            n = jnp.sqrt(n2)
+            s = 2.0 / n - 1.0 / n2
+            c = 2.0 * (1.0 - n) / (n2 * n2)
+            xd = jnp.sum(x * d, axis=1, keepdims=True)
+            Jd = s * d + c * x * xd
+            row2 = s * s + 2.0 * s * c * x * x + c * c * x * x * n2
+            inside = n <= 1.0
+            Jd = jnp.where(inside, d, Jd)
+            row2 = jnp.where(inside, 1.0, row2)
+            var = t_var * Jd ** 2 + r_var * jnp.maximum(row2 - Jd ** 2, 0.0)
+            mean = jnp.where(inside, x, (2.0 - 1.0 / n) * (x / n))
+        else:
+            # lift_gaussian_diag: Σ = t_var·ddᵀ + r_var·(I − ddᵀ), diag
+            d2 = d * d
+            var = t_var * d2 + r_var * (1.0 - d2)
+        args = jnp.dot(mean, Bmat[:], preferred_element_type=f32)
+        # E[sin(fx)] = sin(f·mu)·exp(−f²σ²/2) (encoding.py:206-229);
+        # F2[d, col] = f_col² on sin/cos columns, 0 on identity columns,
+        # so one exp((Q,3)@(3,EP_PAD)) covers every (band, dim) pair and
+        # leaves the include_input columns unattenuated
+        att = jnp.exp(-0.5 * jnp.dot(var, F2[:], preferred_element_type=f32))
+        enc_pos = ((sid[:] * args + ssin[:] * jnp.sin(args)
+                    + scos[:] * jnp.cos(args)) * att).astype(jnp.bfloat16)
     else:
         args = jnp.dot(pts3, Bmat[:], preferred_element_type=f32)  # (Q, EP_PAD)
         enc_pos = (sid[:] * args + ssin[:] * jnp.sin(args)
@@ -433,6 +500,7 @@ def fused_raymarch(params, cfg: NeRFConfig, rays_o, rays_d_unit, z_vals,
                    infinite_last_bin: bool = True, ert_eps: float = 0.0,
                    scene_contraction: bool = False,
                    kp_params: dict | None = None, kp_cfg=None, kp_t=None,
+                   ipe_radii=None,
                    interpret: bool = False):
     """Fused eval forward → (comp (B,3), weights (B,N), acc (B,1), depth (B,1)).
 
@@ -445,6 +513,14 @@ def fused_raymarch(params, cfg: NeRFConfig, rays_o, rays_d_unit, z_vals,
     are skipped (their compositing contribution is < ert_eps per channel;
     the emitted per-sample weights there are 0).  0.0 reproduces the
     reference's march-every-sample semantics exactly.
+
+    ``ipe_radii`` (B,) or (B,1) pixel-cone radii enables the in-kernel
+    mip-NeRF INTEGRATED positional encoding (freq encoder only; composes
+    with ``scene_contraction`` via the exact rank-one Gaussian pushforward
+    — matches ``nerf_forward_pass(ipe=True)``). The per-sample frustum
+    interval midpoints/half-widths are computed here (they need
+    cross-chunk z neighbours) and streamed like z/dt; the moments, lift,
+    contraction Jacobian and per-band attenuation all run in-kernel.
     """
     B, N = z_vals.shape
     EP_PAD, ED_PAD = _enc_pads(cfg)
@@ -489,6 +565,25 @@ def fused_raymarch(params, cfg: NeRFConfig, rays_o, rays_d_unit, z_vals,
         Bm, sid, ssin, scos = _encode_constants(bands, pos_include_input,
                                                 EP_PAD)
 
+    ipe_ins = []
+    if ipe_radii is not None:
+        assert kp_cfg is None, "IPE applies to the freq encoder only"
+        from nerf_sandbox_tpu.core.encoding import z_to_intervals
+        zm = z_vals.astype(jnp.float32) * ray_norms.reshape(B, 1)
+        lower, upper = z_to_intervals(zm)
+        # pad with (mu=1, hw=0) on BOTH padded sample columns and padded
+        # ray rows: finite in-kernel moments (denom = 3mu² > 0); padded
+        # samples/rays composite to nothing anyway (dt pad = 0)
+        mu_t = jnp.ones((Bp, Np), jnp.float32) \
+            .at[:B, :N].set(0.5 * (lower + upper)).T
+        hw_t = _pad_to(0.5 * (upper - lower), Bp, Np).T
+        geom = geom.at[:B, 7].set(
+            jnp.asarray(ipe_radii, jnp.float32).reshape(B))
+        # F2[d, col] = band² on sin/cos columns, 0 on identity columns —
+        # the per-(band, dim) IPE attenuation exponents as one matmul
+        F2 = Bm * Bm * (ssin + scos)
+        ipe_ins = [jnp.asarray(F2), mu_t, hw_t]
+
     n_tiles, n_chunks = Bp // TILE_R, Np // cn
     weights = [packed["w0"], packed["b0"], packed["w_mid"], packed["b_mid"],
                packed["wskip_h"], packed["wskip_e"], packed["bskip"],
@@ -504,7 +599,7 @@ def fused_raymarch(params, cfg: NeRFConfig, rays_o, rays_d_unit, z_vals,
         white_bkgd=white_bkgd, n_chunks=n_chunks, n_rays=B,
         log_eps=(float(np.log(ert_eps)) if ert_eps > 0.0 else None),
         contract=bool(scene_contraction), kp_meta=kp_meta, ep_pad=EP_PAD,
-        chunk_n=cn)
+        chunk_n=cn, ipe=bool(ipe_ins))
 
     out_ray_t, out_wt = pl.pallas_call(
         kernel,
@@ -519,7 +614,11 @@ def fused_raymarch(params, cfg: NeRFConfig, rays_o, rays_d_unit, z_vals,
             + [pl.BlockSpec(w.shape, (lambda i, j, _nd=w.ndim: (0,) * _nd))
                for w in weights]
             + [pl.BlockSpec(t.shape, (lambda i, j, _nd=t.ndim: (0,) * _nd))
-               for t in kp_tables]),
+               for t in kp_tables]
+            + ([pl.BlockSpec(ipe_ins[0].shape, lambda i, j: (0, 0)),
+                pl.BlockSpec((cn, TILE_R), lambda i, j: (j, i)),
+                pl.BlockSpec((cn, TILE_R), lambda i, j: (j, i))]
+               if ipe_ins else [])),
         out_specs=(
             pl.BlockSpec((8, TILE_R), lambda i, j: (0, i)),
             pl.BlockSpec((cn, TILE_R), lambda i, j: (j, i))),
@@ -531,7 +630,7 @@ def fused_raymarch(params, cfg: NeRFConfig, rays_o, rays_d_unit, z_vals,
                 pltpu.VMEM((TILE_R * cn, EP_PAD), jnp.bfloat16)]  # enc
                if kp_meta is not None else [])),
         interpret=interpret,
-    )(geom, ed, z_t, dt_t, *consts, *weights, *kp_tables)
+    )(geom, ed, z_t, dt_t, *consts, *weights, *kp_tables, *ipe_ins)
 
     o = out_ray_t[:, :B]
     comp = jnp.clip(jnp.nan_to_num(o[0:3].T, nan=0.0, posinf=1.0,

@@ -83,7 +83,8 @@ class EvalHyper(NamedTuple):
     # disparity-linear coarse/proposal sample spacing (must match training)
     lindisp: bool = False
     # mip-NeRF integrated positional encoding (must match training; freq
-    # encoder only; XLA eval path — the fused kernel has no IPE branch)
+    # encoder only; fused IN-KERNEL since round 5 — ops/fused_raymarch.py
+    # streams the frustum moments and attenuates per band)
     ipe: bool = False
     # view-direction encoder (must match training). "sh" = spherical
     # harmonics; enc_dir is computed OUTSIDE the fused kernel, so the
@@ -100,11 +101,12 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
     pos_bands_np = np.asarray(pos_bands)   # concrete, for the fused kernel
 
     def _fused_fwd_local(params, rays_o, rays_d_unit, ray_norms, viewdirs,
-                         z, t=None):
+                         z, t=None, radii=None):
         """Fused Pallas ray-march (ops/fused_raymarch.py) — the fast eval
         path; numerics-equivalent to the XLA branch below (bf16 compute).
         ``t``: per-ray frame times (4-D kplanes); a render has ONE time,
-        so the kernel folds the space-time planes at t[0]."""
+        so the kernel folds the space-time planes at t[0].  ``radii``:
+        per-ray pixel-cone radii — enables the in-kernel IPE encode."""
         from nerf_sandbox_tpu.core.encoding import encode_dirs
         from nerf_sandbox_tpu.ops.fused_raymarch import fused_raymarch
         vn = jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
@@ -125,6 +127,7 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
             kp_params=(params["pos_grid"] if kp else None),
             kp_cfg=(hyper.enc_cfg if kp else None),
             kp_t=(t[0] if t is not None else None),
+            ipe_radii=(radii if hyper.ipe else None),
             interpret=hyper.pallas_interpret)
 
     if plan.mesh is not None:
@@ -137,7 +140,7 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
         spec_b = P(data_axes)
 
         def fused_fwd(params, rays_o, rays_d_unit, ray_norms, viewdirs, z,
-                      t=None):
+                      t=None, radii=None):
             # shard_map needs an EQUAL split over the data axes (unlike the
             # GSPMD-sharded XLA branch): pad uneven tiles by repeating the
             # last ray (real math, no 0-norm hazards) and slice back — the
@@ -154,18 +157,26 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
                 rays_o, rays_d_unit, ray_norms, viewdirs, z = (
                     padrow(rays_o), padrow(rays_d_unit), padrow(ray_norms),
                     padrow(viewdirs), padrow(z))
-                if t is not None:
-                    t = padrow(t)
+                t = padrow(t) if t is not None else None
+                radii = padrow(radii) if radii is not None else None
+            # optional per-ray extras (frame times / IPE cone radii) ride
+            # as keyword-named trailing operands so either subset shards
+            keys = [k for k, v in (("t", t), ("radii", radii))
+                    if v is not None]
+            extras = [v for v in (t, radii) if v is not None]
+
+            def local(p, ro, rd, rn, vd, zz, *ex):
+                return _fused_fwd_local(p, ro, rd, rn, vd, zz,
+                                        **dict(zip(keys, ex)))
+
             f = jax.shard_map(
-                lambda p, ro, rd, rn, vd, zz, tt=None:
-                    _fused_fwd_local(p, ro, rd, rn, vd, zz, t=tt),
-                mesh=plan.mesh,
+                local, mesh=plan.mesh,
                 in_specs=(P(), spec_b, spec_b, spec_b, spec_b, spec_b)
-                         + (() if t is None else (spec_b,)),
+                         + (spec_b,) * len(extras),
                 out_specs=(spec_b, spec_b, spec_b, spec_b),
                 check_vma=False)
             out = f(params, rays_o, rays_d_unit, ray_norms, viewdirs, z,
-                    *(() if t is None else (t,)))
+                    *extras)
             if pad:
                 out = tuple(o[:T] for o in out)
             return out
@@ -200,7 +211,8 @@ def make_tile_renderer(hyper: EvalHyper, pos_bands, dir_bands,
 
         def forward_rays(params, ro, rd, rn, vd, z, rad=None, tt=None):
             if hyper.use_pallas:
-                return fused_fwd(params, ro, rd, rn, vd, z, t=tt)
+                return fused_fwd(params, ro, rd, rn, vd, z, t=tt,
+                                 radii=(rad if hyper.ipe else None))
             return nerf_forward_pass(
                 params, hyper.model, ro, rd, z,
                 pos_bands=pos_bands, dir_bands=dir_bands,

@@ -832,9 +832,10 @@ class Trainer:
                     and enc_ok
                     and data_only
                     # (scene contraction IS fused — an elementwise warp on
-                    # marching points inside the kernel since round 4)
-                    # ... but no IPE branch (Gaussian encode is XLA-only)
-                    and not self.ipe
+                    # marching points inside the kernel since round 4 —
+                    # and so is IPE since round 5: frustum moments + exact
+                    # contraction pushforward + per-band attenuation all
+                    # run in-kernel, ops/fused_raymarch.py)
                     # the kernel's matmuls are bf16 by design; an explicit
                     # --compute_dtype float32 must get true-fp32 XLA eval
                     and str(self.cfg.compute_dtype) == "bfloat16")

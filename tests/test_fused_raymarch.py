@@ -260,3 +260,56 @@ def test_fused_raymarch_kplanes_hybrid_contracted():
                                [2e-2, 2e-2, 2e-2, 0.1]):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=tol,
                                    err_msg=name)
+
+
+def _ipe_oracle(params, o, d, norms, z, pos_b, dir_b, radii, contraction):
+    return nerf_forward_pass(
+        params, CFG, o, d, z, pos_bands=jnp.asarray(pos_b),
+        dir_bands=jnp.asarray(dir_b), white_bkgd=True, ray_norms=norms,
+        viewdirs_world_unit=d, sigma_activation="relu",
+        infinite_last_bin=True, compute_dtype=jnp.bfloat16,
+        scene_contraction=contraction, ipe=True, radii=radii)
+
+
+def test_fused_raymarch_ipe_matches_xla():
+    """In-kernel mip-NeRF IPE == nerf_forward_pass(ipe=True) (VERDICT r4
+    #4): frustum moments, diagonal Gaussian lift and per-band attenuation
+    all run inside the kernel (streams: interval midpoint/half-width;
+    geom slot 7 carries the pixel-cone radius). b=37/n=21 exercises the
+    ray- AND sample-padding paths (mu pad = 1 keeps moments finite)."""
+    pos_b, dir_b = vanilla_encoders()
+    params = init_nerf_params(jax.random.PRNGKey(5), CFG)
+    o, d, norms, z = _rays(b=37, n=21, seed=11)
+    # realistic pinhole cone radii (~1/fx) up to exaggerated ones that
+    # drive the high bands' attenuation to ~0 — both regimes must match
+    radii = jax.random.uniform(jax.random.PRNGKey(12), (37,),
+                               minval=5e-4, maxval=3e-2)
+    want = _ipe_oracle(params, o, d, norms, z, pos_b, dir_b, radii, False)
+    enc_dir = positional_encoding(d, jnp.asarray(dir_b))
+    got = fused_raymarch(params, CFG, o, d, z, norms, enc_dir, pos_b,
+                         ipe_radii=radii, interpret=True)
+    for g, w, name, tol in zip(got, want, ["comp", "w", "acc", "depth"],
+                               [2e-2, 2e-2, 2e-2, 0.1]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=tol,
+                                   err_msg=name)
+
+
+def test_fused_raymarch_ipe_contracted_matches_xla():
+    """IPE + scene contraction: the kernel's closed-form contraction
+    Jacobian (J = s·I + c·xx^T) must reproduce contract_gaussian's
+    jacfwd-based exact rank-one pushforward. Rays straddle the unit ball
+    so both warp branches (J = I inside) are exercised."""
+    pos_b, dir_b = vanilla_encoders()
+    params = init_nerf_params(jax.random.PRNGKey(6), CFG)
+    o, d, norms, z = _rays(b=37, n=21, seed=13)   # z in [2,6] -> r up to ~7
+    radii = jax.random.uniform(jax.random.PRNGKey(14), (37,),
+                               minval=5e-4, maxval=3e-3)
+    want = _ipe_oracle(params, o, d, norms, z, pos_b, dir_b, radii, True)
+    enc_dir = positional_encoding(d, jnp.asarray(dir_b))
+    got = fused_raymarch(params, CFG, o, d, z, norms, enc_dir, pos_b,
+                         ipe_radii=radii, scene_contraction=True,
+                         interpret=True)
+    for g, w, name, tol in zip(got, want, ["comp", "w", "acc", "depth"],
+                               [2e-2, 2e-2, 2e-2, 0.1]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=tol,
+                                   err_msg=name)

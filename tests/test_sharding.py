@@ -328,3 +328,45 @@ def test_trainer_mesh_slices_cli(tmp_path):
           "--progress_frames", "2", "--eval_chunk", "128",
           "--mesh_slices", "2"])
     assert (out / "checkpoints" / "ckpt_0000004.ckpt").exists()
+
+
+def test_sharded_fused_eval_ipe():
+    """IPE through the shard_map-fused eval path (round 5): the per-ray
+    cone radii ride as an extra sharded operand. Sharded-fused ==
+    single-device-fused (exact) == sharded-XLA IPE (bf16 tolerance)."""
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig, init_nerf_params
+    from nerf_sandbox_tpu.render.renderer import (
+        EvalHyper, make_tile_renderer, render_rays_chunked)
+
+    plan = make_mesh()
+    model = NeRFConfig(63, 27, n_layers=3, hidden_dim=128, skip_pos=1)
+    pos_b, dir_b = vanilla_encoders()
+    pb, db = jnp.asarray(pos_b), jnp.asarray(dir_b)
+    pc = init_nerf_params(jax.random.PRNGKey(0), model)
+    pf = init_nerf_params(jax.random.PRNGKey(1), model)
+    n = 256
+    d = jax.random.normal(jax.random.PRNGKey(2), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    radii = jax.random.uniform(jax.random.PRNGKey(3), (n,),
+                               minval=1e-3, maxval=1e-2)
+    args = (jnp.zeros((n, 3)), d, jnp.ones((n, 1)), d)
+    base = dict(model=model, nc_eval=8, nf_eval=8, samp_near=2.0,
+                samp_far=6.0, ipe=True)
+    fused = EvalHyper(**base, use_pallas=True, pallas_interpret=True)
+    xla = EvalHyper(**base)
+    t_fm = make_tile_renderer(fused, pb, db, plan=plan)
+    t_f1 = make_tile_renderer(fused, pb, db)
+    t_xm = make_tile_renderer(xla, pb, db, plan=plan)
+    o_fm = render_rays_chunked(t_fm, pc, pf, *args, eval_chunk=128,
+                               radii=radii)
+    o_f1 = render_rays_chunked(t_f1, pc, pf, *args, eval_chunk=128,
+                               radii=radii)
+    o_xm = render_rays_chunked(t_xm, pc, pf, *args, eval_chunk=128,
+                               radii=radii)
+    np.testing.assert_allclose(np.asarray(o_fm["rgb"]),
+                               np.asarray(o_f1["rgb"]), atol=2e-5,
+                               err_msg="ipe fused mesh vs 1-dev")
+    np.testing.assert_allclose(np.asarray(o_fm["rgb"]),
+                               np.asarray(o_xm["rgb"]), atol=3e-2,
+                               err_msg="ipe fused vs xla")
