@@ -370,7 +370,10 @@ class Config:
     # (RESULTS.md "Unbounded-360" #5: the enclosing background shell
     # contaminates every axis-aligned plane projection; freq channels
     # give the MLP an uncontaminated positional signal). 0 = off.
-    kp_hybrid_freqs: int = 0
+    # DEFAULT 6 since round 5 — measured neutral-to-positive on bounded
+    # scenes (24.64 vs 24.16 tex; 27.48 vs 27.26 LLFF) and +11 dB on
+    # contracted ones (RESULTS.md), at +39 encoder dims.
+    kp_hybrid_freqs: int = 6
     # Eval-only plane downsample factor (1 = off): bilinear-resample the
     # plane tables before full-image renders; 4x encode-FLOP cut per
     # factor-2 (the eval tax is the 2QR^2F one-hot contraction).
@@ -633,7 +636,8 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--kp_aabb_scale", type=float, default=d.kp_aabb_scale)
     g.add_argument("--kp_hybrid_freqs", type=int, default=d.kp_hybrid_freqs,
                    help="concat an L-band freq encoding to the kplanes "
-                        "features (unbounded-scene hybrid; try 6)")
+                        "features (measured default 6: neutral-to-positive "
+                        "bounded, +11 dB contracted; 0 = plain planes)")
 
     g = p.add_argument_group("tpu")
     g.add_argument("--scan_steps", type=int, default=d.scan_steps,

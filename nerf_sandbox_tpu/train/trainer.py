@@ -316,8 +316,11 @@ class Trainer:
             aabb = float(cfg.kp_aabb_scale)
             if self.scene_contraction and \
                     int(getattr(cfg, "kp_hybrid_freqs", 0) or 0) == 0:
-                print("[cfg] hint: kplanes on a CONTRACTED scene measures "
-                      "~11 dB better with --kp_hybrid_freqs 6 (the "
+                # default is 6 since round 5 — reaching here means the user
+                # explicitly disabled the hybrid on the one scene family
+                # where it is transformative
+                print("[cfg] WARNING: --kp_hybrid_freqs 0 on a CONTRACTED "
+                      "scene measures ~11 dB WORSE than the default 6 (the "
                       "enclosing background shell contaminates plane "
                       "projections; RESULTS.md 'Unbounded-360' #5)")
             if self.scene_contraction and aabb < 2.0:
@@ -714,6 +717,9 @@ class Trainer:
         self._val_next_idx = 0
         self._val_avg_seconds = 0.0
         self._val_event_durations: list[float] = []
+        # bad-basin detector state (_check_val_divergence)
+        self._val_psnr_history: list[tuple[int, float]] = []
+        self._divergence_warned = False
         # guards duration bookkeeping shared with the --async_val worker
         import threading
         self._val_stats_lock = threading.Lock()
@@ -825,8 +831,15 @@ class Trainer:
                      or "model" not in self.plan.mesh.axis_names)
         # kplanes: the encode is fused in-kernel (one-hot matmul bilinear
         # interps, VMEM-resident tables); 4-D space-time planes fold to
-        # the static encode at the render's fixed frame time
-        enc_ok = self.pos_encoder in ("freq", "kplanes")
+        # the static encode at the render's fixed frame time. MEASURED
+        # default (RESULTS r5 bench rows): the fused kplanes encode is
+        # ~10% SLOWER than XLA at refine-all (2.07 vs 1.87 s/frame) and
+        # ties with ERT+cull, EXCEPT on contracted scenes where the
+        # in-kernel contraction+hybrid chain wins 1.63x (314k vs 193k
+        # rays/s) — so kplanes uses the kernel only under contraction
+        enc_ok = (self.pos_encoder == "freq"
+                  or (self.pos_encoder == "kplanes"
+                      and self.scene_contraction))
         return bool(self.cfg.use_pallas and pallas_available()
                     and fusable(self.model_cfg)
                     and enc_ok
@@ -1074,6 +1087,38 @@ class Trainer:
     # validation (sync body + async worker)
     # ------------------------------------------------------------------
 
+    def _check_val_divergence(self, step: int, psnr: float) -> None:
+        """Bad-basin detector for importance placement feeding a fast grid
+        (RESULTS.md 'Distortion-loss collapse' §5): proposal/hierarchical
+        resampling + a fast grid encoder can lock onto a wrong-depth
+        sample cluster on unlucky seeds — measured 16.3-16.9 dB stalls
+        across EVERY seed-43 config vs 21+ and climbing for healthy runs
+        of the same recipe. A loud named warning with the measured fixes;
+        training continues (the collapse is a local optimum, not a crash).
+        """
+        hist = self._val_psnr_history
+        hist.append((int(step), float(psnr)))
+        if self._divergence_warned or len(hist) < 2:
+            return
+        fast_grid = (self.pos_encoder in ("kplanes", "hashgrid")
+                     and float(getattr(self.cfg, "lr_grid", 0) or 0) >= 5e-3)
+        if not fast_grid or self.sampling_mode == "occupancy":
+            return
+        (s0, p0), (s1, p1) = hist[0], hist[-1]
+        if p1 < 18.0 and (p1 - p0) < 0.5 and s1 > s0:
+            self._divergence_warned = True
+            print(
+                f"[WARN] val PSNR stalled at {p1:.2f} dB (step {s0}->{s1}: "
+                f"{p0:.2f}->{p1:.2f}) under {self.sampling_mode} sampling "
+                f"with a fast {self.pos_encoder} grid (lr_grid "
+                f"{float(self.cfg.lr_grid):g}): the resample feedback loop "
+                "can collapse into a wrong-depth cluster on unlucky seeds "
+                "(RESULTS.md 'Distortion-loss collapse' §5). Measured "
+                "fixes: --sampling occupancy (seed-robust, ties this "
+                "family's quality); a different --seed; "
+                "--prop_explore_floor 1.0 as a placement-independent "
+                "diagnostic.")
+
     def _run_validation(self, step: int, pc, pf) -> None:
         """Render + write validation artifacts for ``step`` using the given
         params (snapshot — JAX arrays are immutable, so capturing the
@@ -1088,6 +1133,7 @@ class Trainer:
             ssim_txt = f" SSIM={ssim:.4f}" if ssim is not None else ""
             print(f"[VAL] step={step} mean PSNR={metrics['psnr_mean']:.2f} dB"
                   f"{ssim_txt} over {len(self.val_frame_indices)} frame(s)")
+            self._check_val_divergence(step, float(metrics["psnr_mean"]))
         if self.cfg.progress_video_during_training:
             start, count = self.valr.render_progress_block(pc, pf)
             if count > 0:

@@ -179,6 +179,36 @@ def test_kplanes_hybrid_freqs():
                                np.asarray(want), rtol=1e-5, atol=1e-6)
 
 
+def test_kplanes_hybrid_default_six(tmp_path):
+    """--kp_hybrid_freqs defaults to 6 (round 5, measured: neutral-to-
+    positive bounded, +11 dB contracted — RESULTS.md); an explicit 0
+    builds plain planes."""
+    from tests.test_loaders import _make_blender
+    from nerf_sandbox_tpu.config import (Config, apply_path_defaults,
+                                         build_argparser, make_cfg_from_args)
+    from nerf_sandbox_tpu.train.trainer import Trainer
+    assert Config.kp_hybrid_freqs == 6
+    root = _make_blender(tmp_path / "scene", n_frames=2, size=16)
+    base = ["--data_root", str(root), "--out_dir", str(tmp_path / "e"),
+            "--data_kind", "blender", "--encoder", "kplanes",
+            "--kp_plane_res", "8", "--kp_plane_features", "4",
+            "--kp_line_res", "16", "--kp_line_features", "4",
+            "--n_layers", "2", "--hidden_dim", "32", "--skip_pos", "1",
+            "--nc", "4", "--nf", "8", "--rays_per_batch", "32",
+            "--eval_chunk", "128"]
+
+    def mk(argv):
+        return apply_path_defaults(
+            make_cfg_from_args(build_argparser().parse_args(argv)),
+            "blender")
+
+    tr = Trainer(mk(base))
+    assert tr.enc_cfg.hybrid_freqs == 6
+    assert tr.enc_cfg.out_dim == 4 + 4 + (3 + 6 * 6)   # planes+line+hybrid
+    tr0 = Trainer(mk(base + ["--kp_hybrid_freqs", "0"]))
+    assert tr0.enc_cfg.hybrid_freqs == 0
+
+
 def test_kplanes_tv_contract():
     """TV prior: 0 on constant tables, positive on noise, smaller on smooth
     ramps than on noise of the same magnitude."""

@@ -483,3 +483,48 @@ def test_probe_weights_lindisp_spacing():
     zl, _ = ray_probe_weights(grid, CFG, o, d, jnp.ones((1, 1)), near, far)
     np.testing.assert_allclose(np.diff(np.asarray(zl[0])),
                                (far - near) / CFG.n_probes, rtol=1e-4)
+
+
+def test_bad_basin_divergence_warning(tmp_path, capsys):
+    """Proposal/hierarchical placement feeding a fast grid gets a loud
+    named warning when val PSNR stalls in the collapse regime (RESULTS.md
+    'Distortion-loss collapse' §5, VERDICT r4 #5); the seed-robust
+    occupancy default never warns."""
+    from tests.test_loaders import _make_blender
+    from nerf_sandbox_tpu.config import (apply_path_defaults,
+                                         build_argparser, make_cfg_from_args)
+    from nerf_sandbox_tpu.train.trainer import Trainer
+    root = _make_blender(tmp_path / "scene", n_frames=2, size=16)
+    base = ["--data_root", str(root), "--out_dir", str(tmp_path / "e"),
+            "--data_kind", "blender", "--encoder", "kplanes",
+            "--lr_grid", "1e-2", "--n_layers", "2", "--hidden_dim", "32",
+            "--skip_pos", "1", "--nc", "4", "--nf", "8",
+            "--rays_per_batch", "32", "--eval_chunk", "128"]
+
+    def mk(argv):
+        return apply_path_defaults(
+            make_cfg_from_args(build_argparser().parse_args(argv)),
+            "blender")
+
+    tr = Trainer(mk(base + ["--sampling", "proposal"]))
+    tr._check_val_divergence(1000, 16.5)     # first event: no baseline yet
+    tr._check_val_divergence(2000, 16.6)     # stalled in the collapse band
+    out = capsys.readouterr().out
+    assert "[WARN] val PSNR stalled" in out
+    assert "--sampling occupancy" in out
+    assert tr._divergence_warned
+    tr._check_val_divergence(3000, 16.7)     # warns ONCE, not every event
+    assert out.count("[WARN] val PSNR stalled") == 1
+
+    # healthy trajectory: no warning even in the fragile config
+    tr2 = Trainer(mk(base + ["--sampling", "proposal"]))
+    tr2._check_val_divergence(1000, 20.9)
+    tr2._check_val_divergence(2000, 22.4)
+    assert not tr2._divergence_warned
+
+    # occupancy placement is measured seed-robust: detector stays silent
+    tr3 = Trainer(mk(base + ["--sampling", "occupancy",
+                             "--occ_res", "8", "--occ_probes", "8"]))
+    tr3._check_val_divergence(1000, 16.5)
+    tr3._check_val_divergence(2000, 16.6)
+    assert not tr3._divergence_warned
