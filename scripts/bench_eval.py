@@ -127,6 +127,11 @@ def _bench_variant(tr, hyper, label, H=800, W=800, eval_chunk=32768,
     rd = pad(rays.d_march_unit)
     rn = pad(rays.d_march_norm.reshape(n, 1), 1.0)
     vd = pad(rays.d_world_unit)
+    ra = None
+    if getattr(hyper, "ipe", False):
+        from nerf_sandbox_tpu.core.encoding import pixel_cone_radii
+        ra = pad(pixel_cone_radii(
+            float(K[0, 0]), rays.d_world_norm).reshape(n, 1), 1e-3)
     if n_pad:   # zero dirs are degenerate; padded rays march +z
         rd = rd.at[n:].set(jnp.array([0.0, 0.0, 1.0]))
         vd = vd.at[n:].set(jnp.array([0.0, 0.0, 1.0]))
@@ -138,7 +143,8 @@ def _bench_variant(tr, hyper, label, H=800, W=800, eval_chunk=32768,
             eps, acc_sum = carry
             sl = lambda x: jax.lax.dynamic_slice_in_dim(x, t * tile, tile)
             rgb, acc, _ = tile_fn(pc, pf, sl(ro_all) + eps, sl(rd),
-                                  sl(rn), sl(vd), key)
+                                  sl(rn), sl(vd), key,
+                                  sl(ra) if ra is not None else None)
             return (jnp.float32(1e-30) * rgb.sum(), acc_sum + acc.sum())
         _, acc_sum = jax.lax.fori_loop(
             0, n_tiles, body, (jnp.float32(0.0), jnp.float32(0.0)))
@@ -183,6 +189,9 @@ def main():
                          "kplanes/hybrid encode are in-kernel)")
     ap.add_argument("--extra360", default="",
                     help="trainer flags matching the --dir360 run's recipe")
+    ap.add_argument("--ipe_dir", default=None,
+                    help="out_dir of an --ipe run (bounded quality leader) "
+                         "— benches XLA-IPE vs the round-5 in-kernel IPE")
     ap.add_argument("--skip_hier", action="store_true",
                     help="skip the hierarchical variants")
     ap.add_argument("--frames", type=int, default=3)
@@ -264,6 +273,21 @@ def main():
                 trp, trp.eval_hyper._replace(use_pallas=False),
                 f"kplanes+occupancy eval, planes pooled {pool}x",
                 n_reps=args.frames))
+
+    if args.ipe_dir:
+        tri = _load(args.data_root, args.ipe_dir, vanilla=False,
+                    use_saved=True)
+        hi = tri.eval_hyper
+        assert hi.ipe, f"{args.ipe_dir} was not trained with --ipe"
+        for hyper, label in [
+            (hi._replace(use_pallas=False), "IPE eval (XLA)"),
+            (hi._replace(use_pallas=True), "IPE eval (fused kernel)"),
+            (hi._replace(use_pallas=True, eval_ert_eps=1e-4,
+                         eval_fine_frac=0.5),
+             "IPE fused + ERT + cull 0.5"),
+        ]:
+            results.append(_bench_variant(tri, hyper, label,
+                                          n_reps=args.frames))
 
     if args.dir360:
         tr3 = _load(args.data360, args.dir360,
