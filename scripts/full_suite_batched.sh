@@ -1,0 +1,33 @@
+#!/bin/bash
+# Full-suite recorded run (VERDICT r4 #3), batched per CLAUDE.md: the host
+# has ONE core and a torch h2h job + the TPU measurement queue share it, so
+# run 2-3 files per pytest invocation under timeout 580 and aggregate.
+# Tests force CPU in conftest (no tunnel contention). nice 5: below the TPU
+# queue's host loop, above the nice-19 torch job.
+cd "$(dirname "$0")/.."
+OUT=/tmp/full_suite
+mkdir -p "$OUT"
+FILES=$(ls tests/test_*.py)
+batch=()
+i=0
+run_batch() {
+  [ ${#batch[@]} -eq 0 ] && return
+  i=$((i+1))
+  local log="$OUT/batch_$(printf %02d $i).log"
+  if [ -e "$log.done" ]; then echo "BATCH${i}_SKIP"; return; fi
+  if nice -n 5 timeout 580 python -m pytest "${batch[@]}" -q --no-header \
+      > "$log" 2>&1; then
+    tail -2 "$log"; touch "$log.done"; echo "BATCH${i}_OK"
+  else
+    tail -6 "$log"; echo "BATCH${i}_FAILED (${batch[*]})"
+  fi
+  batch=()
+}
+n=0
+for f in $FILES; do
+  batch+=("$f"); n=$((n+1))
+  if [ $n -ge 2 ]; then run_batch; n=0; fi
+done
+run_batch
+echo FULL_SUITE_BATCHES_DONE
+grep -hE "passed|failed|error" "$OUT"/batch_*.log | tail -40
