@@ -1,9 +1,13 @@
 #!/bin/bash
 # Full-suite recorded run (VERDICT r4 #3), batched per CLAUDE.md: the host
 # has ONE core and a torch h2h job + the TPU measurement queue share it, so
-# run 2-3 files per pytest invocation under timeout 580 and aggregate.
+# run 2-3 files per pytest invocation under a bounded timeout and aggregate.
 # Tests force CPU in conftest (no tunnel contention). nice 5: below the TPU
-# queue's host loop, above the nice-19 torch job.
+# queue's host loop, above the nice-19 torch job. The per-batch timeout is
+# 1500 s (not CLAUDE.md's 580): this runner is itself a background script,
+# so the Bash-tool 600 s ceiling doesn't apply, and slow-marked training
+# batches exceed 580 s under 3-way core contention.
+TO=${TO:-1500}
 cd "$(dirname "$0")/.."
 OUT=/tmp/full_suite
 mkdir -p "$OUT"
@@ -15,7 +19,7 @@ run_batch() {
   i=$((i+1))
   local log="$OUT/batch_$(printf %02d $i).log"
   if [ -e "$log.done" ]; then echo "BATCH${i}_SKIP"; return; fi
-  if nice -n 5 timeout 580 python -m pytest "${batch[@]}" -q --no-header \
+  if nice -n 5 timeout "$TO" python -m pytest "${batch[@]}" -q --no-header \
       > "$log" 2>&1; then
     tail -2 "$log"; touch "$log.done"; echo "BATCH${i}_OK"
   else
