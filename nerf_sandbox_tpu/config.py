@@ -208,6 +208,16 @@ class Config:
     # applies on TPU + frequency encoder + fusable arch, else falls back
     # to XLA. --use_pallas false forces the XLA path everywhere.
     use_pallas: bool = True
+    # SCORED renders (train-time validation PSNR, nerf-tpu-eval, one-off
+    # PSNR frames) use the exact XLA path even when the fused kernel is on:
+    # the kernel's bf16 encode+MLP chain costs measured PSNR vs the fp32
+    # XLA oracle (0.26 dB plain freq / 0.81 contracted kplanes-hybrid /
+    # 1.69 IPE — RESULTS.md "Scored-eval path"), which contaminates
+    # quality comparisons. Throughput renders (progress blocks,
+    # camera-path videos, --render_only) keep the fused kernel. false =
+    # score through whatever path use_pallas selects (pre-round-5
+    # behavior, and the right choice when benchmarking the kernel itself).
+    val_exact: bool = True
     # Eval fine-ray culling: refine only this fraction of rays per tile
     # (ranked by coarse opacity); the rest keep the coarse composite.
     # In occupancy mode: evaluate the model only on this fraction of rays
@@ -658,6 +668,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "their own frames). auto = on when multi-process")
     g.add_argument("--compute_dtype", choices=["bfloat16", "float32"], default=d.compute_dtype)
     g.add_argument("--use_pallas", type=str2bool, default=d.use_pallas)
+    g.add_argument("--val_exact", type=str2bool, default=d.val_exact,
+                   help="Score validation/eval PSNR through the exact XLA "
+                        "path even when the fused kernel renders videos "
+                        "(kernel bf16 costs 0.26-1.69 dB of SCORED PSNR, "
+                        "RESULTS.md 'Scored-eval path'); false = score "
+                        "through the fused kernel (pre-r5 behavior)")
     g.add_argument("--eval_fine_frac", type=float, default=d.eval_fine_frac,
                    help="Refine only this fraction of eval rays (by coarse "
                         "opacity; in occupancy mode: evaluate only this "

@@ -165,11 +165,18 @@ class ValidationRenderer:
                  near_world: float, far_world: float, use_ndc: bool,
                  ndc_near_plane_world: float, convention: str = "opengl",
                  tb_logger=None, eval_chunk: int = 16384,
-                 snap_multiple: int = 16, cancel_flag_getter=None):
+                 snap_multiple: int = 16, cancel_flag_getter=None,
+                 render_tile_scored=None):
         self.scene = scene_val
         self.out_dir = Path(out_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.render_tile = render_tile        # jitted fixed-tile renderer
+        # PSNR-scored renders may use a separate (exact-XLA) renderer while
+        # progress/path videos keep the fused kernel (--val_exact); when
+        # absent, scored renders share ``render_tile``
+        self.render_tile_scored = (render_tile_scored
+                                   if render_tile_scored is not None
+                                   else render_tile)
         self.cfg = cfg
         self.near_world = float(near_world)
         self.far_world = float(far_world)
@@ -241,13 +248,14 @@ class ValidationRenderer:
                        / (self.far_world - self.near_world + 1e-8), 0.0, 1.0)
 
     def _render_pose(self, params_c, params_f, c2w, H, W, K,
-                     time=None) -> dict:
+                     time=None, scored: bool = False) -> dict:
         # dynamic (4-D kplanes) tile renderers require a time; static ones
         # ignore it. Frames without a recorded time render at t=0.
         if time is None and self._dynamic:
             time = 0.0
         return render_pose(
-            self.render_tile, params_c, params_f, c2w, H, W, K,
+            self.render_tile_scored if scored else self.render_tile,
+            params_c, params_f, c2w, H, W, K,
             eval_chunk=self.eval_chunk, use_ndc=self.use_ndc,
             convention=self.convention,
             near_plane=(self.ndc_near_plane_world if self.use_ndc
@@ -315,7 +323,7 @@ class ValidationRenderer:
             H, W, K = scale_hwk(fr.H, fr.W, np.asarray(fr.K, np.float32),
                                 float(res_scale))
             res = self._render_pose(params_c, params_f, fr.c2w, H, W, K,
-                                    time=fr.time)
+                                    time=fr.time, scored=True)
 
             root = self.out_dir / f"val_idx{fid:04d}"
             name = f"step_{int(step):07d}.png"
@@ -436,7 +444,7 @@ class ValidationRenderer:
                       f"mse {app_info['mse_init']:.5f} -> "
                       f"{app_info['mse_final']:.5f}")
             res = self._render_pose(params_c, pf_frame, c2w, H, W, K,
-                                    time=fr.time)
+                                    time=fr.time, scored=True)
             if save_images:
                 name = f"frame_{fid:04d}.png"
                 self._save_triplet(

@@ -125,7 +125,8 @@ def main(argv=None):
         else Path(args.out_dir) / f"eval_{args.split}"
     valr = ValidationRenderer(
         scene_val=tr.scene_val, out_dir=eval_out,
-        render_tile=tr.render_tile, cfg=cfg,
+        render_tile=tr.render_tile,
+        render_tile_scored=tr.render_tile_scored, cfg=cfg,
         near_world=tr.near_world, far_world=tr.far_world,
         use_ndc=tr.use_ndc, ndc_near_plane_world=tr.ndc_near_plane_world,
         convention=tr.camera_convention, tb_logger=None,

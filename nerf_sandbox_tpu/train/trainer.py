@@ -669,6 +669,23 @@ class Trainer:
             dir_encoder=self.dir_encoder, sh_degree=self.sh_degree)
         self.render_tile = make_tile_renderer(
             self.eval_hyper, self.pos_bands, self.dir_bands, plan=self.plan)
+        # Scored renders (val PSNR, eval CLI) go through the exact XLA path
+        # when --val_exact (default): the fused kernel's bf16 chain costs
+        # 0.26-1.69 dB of SCORED PSNR depending on the encode (measured
+        # same-checkpoint A/B, RESULTS.md "Scored-eval path") — videos and
+        # progress frames keep the kernel's 1.5-1.6x throughput. Renderers
+        # are lazily jitted, so the second variant only compiles if a
+        # scored render actually happens.
+        if self.eval_hyper.use_pallas and bool(getattr(cfg, "val_exact",
+                                                       True)):
+            self.eval_hyper_scored = self.eval_hyper._replace(
+                use_pallas=False)
+            self.render_tile_scored = make_tile_renderer(
+                self.eval_hyper_scored, self.pos_bands, self.dir_bands,
+                plan=self.plan)
+        else:
+            self.eval_hyper_scored = self.eval_hyper
+            self.render_tile_scored = self.render_tile
 
         # ---- aux services ----
         self.monitor = DeviceMonitor(enable_throttle=cfg.thermal_throttle,
@@ -702,7 +719,8 @@ class Trainer:
                 eval_chunk = max_tile
         self.valr = ValidationRenderer(
             scene_val=self.scene_val, out_dir=self.out_dir / "validation",
-            render_tile=self.render_tile, cfg=cfg,
+            render_tile=self.render_tile,
+            render_tile_scored=self.render_tile_scored, cfg=cfg,
             near_world=self.near_world, far_world=self.far_world,
             use_ndc=self.use_ndc,
             ndc_near_plane_world=self.ndc_near_plane_world,
@@ -819,7 +837,10 @@ class Trainer:
             print(f"[diag] fine-sampling diagnostic failed: {e}")
 
     def _pallas_eval_ok(self) -> bool:
-        """Fused Pallas ray-march for eval renders (default on): requires a
+        """Fused Pallas ray-march for eval renders (default on; under
+        --val_exact, PSNR-SCORED renders still use the exact XLA renderer —
+        this gate then only governs progress/path-video throughput renders
+        and opted-in kernel-scored runs): requires a
         real TPU backend, a frequency encoder, the fusable architecture
         family (hidden%128==0, one interior skip), and a data-only mesh —
         on a mesh the kernel runs per-device under shard_map (GSPMD has no

@@ -161,6 +161,47 @@ def test_progress_blocks_and_resume(tmp_path):
     assert vids
 
 
+def test_scored_renders_use_scored_tile(tmp_path):
+    """--val_exact routing: PSNR-scored renders (render_indices_at_step,
+    evaluate_split) must go through ``render_tile_scored`` (exact XLA when
+    the trainer runs the fused kernel — measured 0.26-1.69 dB scored gap,
+    RESULTS.md 'Scored-eval path'), while progress-video blocks keep the
+    throughput ``render_tile``."""
+    valr, pc, pf = _valr(tmp_path)
+    calls = {"scored": 0, "fast": 0}
+    base = valr.render_tile
+
+    def fast(*a, **k):
+        calls["fast"] += 1
+        return base(*a, **k)
+
+    def scored(*a, **k):
+        calls["scored"] += 1
+        return base(*a, **k)
+
+    valr.render_tile = fast
+    valr.render_tile_scored = scored
+
+    valr.render_indices_at_step(7, [0], pc, pf)
+    assert calls["scored"] > 0 and calls["fast"] == 0
+
+    valr.evaluate_split(pc, pf, save_images=False)
+    n_scored = calls["scored"]
+    assert n_scored > 0 and calls["fast"] == 0
+
+    valr.setup_progress_plan(val_steps=[5, 10, 20])
+    valr.render_progress_block(pc, pf)
+    assert calls["fast"] > 0 and calls["scored"] == n_scored
+
+    # default wiring: absent a scored renderer, both names share one tile
+    from nerf_sandbox_tpu.render.validation import ValidationRenderer
+    v2 = ValidationRenderer(
+        scene_val=valr.scene, out_dir=tmp_path / "v2", render_tile=base,
+        cfg=valr.cfg, near_world=2.0, far_world=6.0, use_ndc=False,
+        ndc_near_plane_world=2.0, eval_chunk=256)
+    assert v2.render_tile_scored is v2.render_tile
+
+
 def test_render_selected_frames(tmp_path):
     valr, pc, pf = _valr(tmp_path)
     out = valr.render_selected_frames(pc, pf, frame_indices=[1], res_scale=0.5)
