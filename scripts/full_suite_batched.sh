@@ -18,7 +18,9 @@ run_batch() {
   [ ${#batch[@]} -eq 0 ] && return
   i=$((i+1))
   local log="$OUT/batch_$(printf %02d $i).log"
-  if [ -e "$log.done" ]; then echo "BATCH${i}_SKIP"; return; fi
+  # clear the accumulator on skip too, or skipped batches leak their files
+  # into the next run batch (14-file mega-batches on rerun)
+  if [ -e "$log.done" ]; then batch=(); echo "BATCH${i}_SKIP"; return; fi
   if nice -n 5 timeout "$TO" python -m pytest "${batch[@]}" -q --no-header \
       > "$log" 2>&1; then
     tail -2 "$log"; touch "$log.done"; echo "BATCH${i}_OK"
