@@ -20,6 +20,17 @@ all composite accumulation in f32.  The exclusive cumprod is computed as
 ``exp(exclusive_cumsum(log(1-α+1e-10)))`` — identical up to fp association
 with the integrator's ``cumprod(1-α+1e-10)`` (integrator.py:63).
 
+Every f32×f32 dot — the one-hot relayouts carrying ray geometry / z /
+σ / rgb, the encode-args matmul, the IPE attenuation exponent, and the
+triangular cumsum — is pinned ``precision=HIGHEST``: Mosaic (like XLA)
+truncates DEFAULT-precision f32 dot inputs to bf16 ONE PASS, which put
+up to 4 rad of phase error into the top encode bands and cost a measured
+0.26–1.69 dB of scored PSNR (scripts/probe_mosaic_precision.py; RESULTS
+"Scored-eval path").  Same convention as the XLA-path one-hot idioms
+(core/sampling.py:124, data/sampler.py:271).  HIGHEST one-hot selection
+is bit-exact on the MXU; the pinned dots are relayout-sized (≤0.5% of
+the kernel's FLOPs), so the cost is noise next to the bf16 MLP chain.
+
 Design notes (why these shapes):
 * grid = (ray_tiles, sample_chunks), sample chunk minor: TPU grids execute
   sequentially, so VMEM scratch legally carries per-ray state (log T,
@@ -56,6 +67,8 @@ from jax.experimental.pallas import tpu as pltpu
 from nerf_sandbox_tpu.models.mlp import NeRFConfig
 from nerf_sandbox_tpu.ops.fused_mlp import (
     _enc_pads, _pad_to, fusable, pack_nerf_params, pallas_available)
+
+_HI = jax.lax.Precision.HIGHEST   # exact f32 dots (module docstring)
 
 TILE_R = 128          # rays per grid tile (lane dim of transposed arrays)
 CHUNK_N = 16          # samples per chunk
@@ -210,7 +223,8 @@ def _kp_encode_body(pts3, kp_refs, Bmat, sid, ssin, scos, meta, ep_pad):
         # parameter-free freq channels of the box-normalized coords — the
         # unbounded-360 hybrid (kplanes.py:257-266); constants built from
         # the hybrid bands, not the model's pos_bands
-        args = jnp.dot(x01 * 2.0 - 1.0, Bmat[:], preferred_element_type=f32)
+        args = jnp.dot(x01 * 2.0 - 1.0, Bmat[:], preferred_element_type=f32,
+                       precision=_HI)
         feats.append(sid[:] * args + ssin[:] * jnp.sin(args)
                      + scos[:] * jnp.cos(args))
     enc = jnp.concatenate(feats, axis=1)
@@ -327,13 +341,15 @@ def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
     S = (kq == kc).astype(f32)                             # (Q, CN): chunk of q
 
     # per-ray channels broadcast to samples
-    g_q = jnp.dot(onehot, geom[:], preferred_element_type=f32)   # (Q, 8)
+    g_q = jnp.dot(onehot, geom[:], preferred_element_type=f32,
+                  precision=_HI)                                 # (Q, 8)
     ed_q = jnp.dot(onehot.astype(jnp.bfloat16),
                    ed_ref[:].astype(jnp.bfloat16),
                    preferred_element_type=f32).astype(jnp.bfloat16)
 
     # (CN,T_R) -> (Q,1): pick row k_q then column r_q
-    z_rows = jnp.dot(S, z_tr, preferred_element_type=f32)        # (Q, T_R)
+    z_rows = jnp.dot(S, z_tr, preferred_element_type=f32,
+                     precision=_HI)                              # (Q, T_R)
     z_q = jnp.sum(z_rows * onehot, axis=1, keepdims=True)        # (Q, 1)
 
     if ipe_refs is None:
@@ -376,9 +392,11 @@ def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
         # contract_gaussian exactly, then ONE extra (Q,3)x(3,EP_PAD)
         # matmul for the per-band attenuation exponent.
         F2, mu_ref, hw_ref = ipe_refs
-        mu_q = jnp.sum(jnp.dot(S, mu_ref[:], preferred_element_type=f32)
+        mu_q = jnp.sum(jnp.dot(S, mu_ref[:], preferred_element_type=f32,
+                               precision=_HI)
                        * onehot, axis=1, keepdims=True)     # (Q, 1)
-        hw_q = jnp.sum(jnp.dot(S, hw_ref[:], preferred_element_type=f32)
+        hw_q = jnp.sum(jnp.dot(S, hw_ref[:], preferred_element_type=f32,
+                               precision=_HI)
                        * onehot, axis=1, keepdims=True)
         # conical_frustum_moments (mip-NeRF eq. 7; encoding.py:167-187)
         denom = 3.0 * mu_q * mu_q + hw_q * hw_q
@@ -413,16 +431,19 @@ def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
             # lift_gaussian_diag: Σ = t_var·ddᵀ + r_var·(I − ddᵀ), diag
             d2 = d * d
             var = t_var * d2 + r_var * (1.0 - d2)
-        args = jnp.dot(mean, Bmat[:], preferred_element_type=f32)
+        args = jnp.dot(mean, Bmat[:], preferred_element_type=f32,
+                       precision=_HI)
         # E[sin(fx)] = sin(f·mu)·exp(−f²σ²/2) (encoding.py:206-229);
         # F2[d, col] = f_col² on sin/cos columns, 0 on identity columns,
         # so one exp((Q,3)@(3,EP_PAD)) covers every (band, dim) pair and
         # leaves the include_input columns unattenuated
-        att = jnp.exp(-0.5 * jnp.dot(var, F2[:], preferred_element_type=f32))
+        att = jnp.exp(-0.5 * jnp.dot(var, F2[:], preferred_element_type=f32,
+                                     precision=_HI))
         enc_pos = ((sid[:] * args + ssin[:] * jnp.sin(args)
                     + scos[:] * jnp.cos(args)) * att).astype(jnp.bfloat16)
     else:
-        args = jnp.dot(pts3, Bmat[:], preferred_element_type=f32)  # (Q, EP_PAD)
+        args = jnp.dot(pts3, Bmat[:], preferred_element_type=f32,
+                       precision=_HI)                          # (Q, EP_PAD)
         enc_pos = (sid[:] * args + ssin[:] * jnp.sin(args)
                    + scos[:] * jnp.cos(args)).astype(jnp.bfloat16)
 
@@ -461,7 +482,8 @@ def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
 
     # (Q,1) -> (CN,T_R): v_tr = Sᵀ @ (v ⊙ onehot)
     def to_tr(v_q1):
-        return jnp.dot(S.T, v_q1 * onehot, preferred_element_type=f32)
+        return jnp.dot(S.T, v_q1 * onehot, preferred_element_type=f32,
+                       precision=_HI)
 
     sig_tr = to_tr(sigma)
 
@@ -474,7 +496,8 @@ def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
     r_i = jax.lax.broadcasted_iota(jnp.int32, (chunk_n, chunk_n), 0)
     c_i = jax.lax.broadcasted_iota(jnp.int32, (chunk_n, chunk_n), 1)
     tri = (c_i < r_i).astype(f32)                          # L[k, j] = j < k
-    excl = jnp.dot(tri, lg, preferred_element_type=f32)    # (CN, T_R)
+    excl = jnp.dot(tri, lg, preferred_element_type=f32,
+                   precision=_HI)                            # (CN, T_R)
 
     logT0 = state[0:1, :]                                  # carried log T
     T_tr = jnp.exp(logT0 + excl)

@@ -670,12 +670,12 @@ class Trainer:
         self.render_tile = make_tile_renderer(
             self.eval_hyper, self.pos_bands, self.dir_bands, plan=self.plan)
         # Scored renders (val PSNR, eval CLI) go through the exact XLA path
-        # when --val_exact (default): the fused kernel's bf16 chain costs
-        # 0.26-1.69 dB of SCORED PSNR depending on the encode (measured
-        # same-checkpoint A/B, RESULTS.md "Scored-eval path") — videos and
-        # progress frames keep the kernel's 1.5-1.6x throughput. Renderers
-        # are lazily jitted, so the second variant only compiles if a
-        # scored render actually happens.
+        # when --val_exact (default). Post round-5 precision fix the fused
+        # kernel scores within 0.001 dB of XLA (RESULTS.md "Scored-eval
+        # path"), so this is scoring POLICY (XLA stays the oracle), not a
+        # quality shield; videos and progress frames keep the kernel's
+        # 1.5-1.6x throughput. Renderers are lazily jitted, so the second
+        # variant only compiles if a scored render actually happens.
         if self.eval_hyper.use_pallas and bool(getattr(cfg, "val_exact",
                                                        True)):
             self.eval_hyper_scored = self.eval_hyper._replace(
