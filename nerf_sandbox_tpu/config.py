@@ -197,6 +197,12 @@ class Config:
     # >1: hierarchical 2-D (dcn_data x ici_data) data mesh for multi-slice
     # jobs — grad all-reduce decomposes ICI-first (parallel/mesh.py).
     mesh_slices: int = 0
+    # >1: 2-D data x model mesh; the trunk gets Megatron col/row TP and
+    # factorized-grid tables (kplanes) shard their feature axis — per-device
+    # param HBM and the 2QR²F encode FLOPs both divide by this
+    # (parallel/mesh.py:nerf_param_shardings). Model axis should be the
+    # ICI-inner one. Mutually exclusive with --mesh_slices.
+    mesh_model: int = 0
     # Shard the training image bank over the mesh's data axes (frame dim):
     # per-device HBM /= n_devices, per-host disk decode /= n_processes
     # (loaders skip non-owned frames); pixel fetch = masked local gather +
@@ -661,6 +667,10 @@ def build_argparser() -> argparse.ArgumentParser:
     g.add_argument("--mesh_slices", type=int, default=d.mesh_slices,
                    help=">1: hierarchical dcn_data x ici_data mesh for "
                         "multi-slice jobs")
+    g.add_argument("--mesh_model", type=int, default=d.mesh_model,
+                   help=">1: data x model mesh — Megatron trunk TP + "
+                        "feature-sharded grid tables (memory-capacity "
+                        "scaling for wide/grid models)")
     g.add_argument("--shard_scene", choices=["auto", "true", "false"],
                    default=d.shard_scene,
                    help="Frame-shard the training image bank over the mesh "

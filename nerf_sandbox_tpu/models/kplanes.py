@@ -64,6 +64,14 @@ class KPlanesConfig(NamedTuple):
     # exactly static until the data provides a time gradient. The encoder
     # then requires per-point normalized times t in [0, 1]. 0 = static.
     time_res: int = 0
+    # Grid tensor-parallelism switch (the trainer sets it under
+    # --mesh_model): contract the planes as einsums over the UNRESHAPED
+    # (R,R,F) tables so feature-axis sharding survives both contractions
+    # (no table all-gather). Single-chip default stays the reshape-to-
+    # (R, R*F) matmul — MEASURED 19% faster at eval scale on v5e (XLA
+    # lays the merged minor dim out better than the 3-D dot_general;
+    # RESULTS.md "Eval rendering throughput" round-5 note).
+    shard_features: bool = False
 
     @property
     def out_dim(self) -> int:
@@ -194,9 +202,20 @@ def _encode_chunk(params: dict, x01: jnp.ndarray, cfg: KPlanesConfig,
         planes = [("xy", (0, 1)), ("xz", (0, 2)), ("yz", (1, 2))]
         for name, (da, db) in planes:
             P = params[f"plane{s}_{name}"].astype(compute_dtype)  # (R, R, F)
-            # (Qc,R)@(R,R*F) → (Qc,R,F); then per-point row contraction
-            A = (W[da] @ P.reshape(R, -1)).reshape(
-                -1, R, cfg.plane_features)
+            # contract row axis i, then per-point row contraction over j.
+            # Two numerically-identical forms of the first contraction
+            # (same dot_general contraction, different layout):
+            # * shard_features: einsum over the UNRESHAPED (R,R,F) table so
+            #   grid TP's feature-axis sharding survives both contractions
+            #   (no table all-gather — asserted on the compiled HLO in
+            #   tests/test_sharding.py).
+            # * default: reshape-to-(R, R*F) matmul — 19% faster at eval
+            #   scale single-chip (measured; see KPlanesConfig).
+            if cfg.shard_features:
+                A = jnp.einsum("qi,ijf->qjf", W[da], P)           # (Qc, R, F)
+            else:
+                A = (W[da] @ P.reshape(R, -1)).reshape(
+                    -1, R, cfg.plane_features)
             f = jnp.einsum("qj,qjf->qf", W[db], A)                # (Qc, F)
             prod = f if prod is None else prod * f
         if cfg.time_res > 0:
@@ -204,8 +223,11 @@ def _encode_chunk(params: dict, x01: jnp.ndarray, cfg: KPlanesConfig,
             Wt = Wt_planes[R]                                     # (Qc, T)
             for name, da in (("xt", 0), ("yt", 1), ("zt", 2)):
                 P = params[f"plane{s}_{name}"].astype(compute_dtype)  # (R,T,F)
-                A = (W[da] @ P.reshape(R, -1)).reshape(
-                    -1, cfg.time_res, cfg.plane_features)
+                if cfg.shard_features:
+                    A = jnp.einsum("qi,itf->qtf", W[da], P)
+                else:
+                    A = (W[da] @ P.reshape(R, -1)).reshape(
+                        -1, cfg.time_res, cfg.plane_features)
                 prod = prod * jnp.einsum("qj,qjf->qf", Wt, A)
         feats.append(prod)
     # CP lines: product of three 1-D interpolations at high resolution

@@ -85,12 +85,66 @@ def make_mesh_multihost(n_slices: int, chips_per_slice: int, devices=None,
     return MeshPlan(mesh=Mesh(arr, axis_names))
 
 
-def nerf_param_shardings(plan: MeshPlan, params):
-    """Megatron-style alternating TP shardings for a NeRF param pytree.
+def trunk_tp_specs(in_dims, out_dims, n_model: int) -> list:
+    """Megatron pairing over a trunk: 'col' / 'row' / 'rep' per layer.
 
-    Trunk layer 2k: column-parallel (out dim over ``model``); layer 2k+1:
-    row-parallel (in dim over ``model``) — XLA inserts the psum after each
-    row-parallel matmul.  Heads and hash tables stay replicated (tiny).
+    Invariants the chain maintains (so GSPMD follows the INTENDED pattern
+    instead of inventing reshards — verified by
+    tests/test_sharding.py's ``inspect_array_sharding`` checks):
+
+    * 'col' (W sharded on out) needs a REPLICATED input; its output is
+      feature-sharded.
+    * 'row' (W sharded on in) needs its input feature-sharded in the SAME
+      layout — i.e. it must directly follow a 'col' of matching width; its
+      matmul ends in the psum that re-replicates the activation.
+    * a skip-concat layer (in_dim != previous out_dim) concatenates the
+      replicated encoding — so the activation entering the concat must be
+      replicated: any dangling 'col' before it is demoted to 'rep' and the
+      pairing restarts.
+    * the trunk must END replicated (heads are replicated): a trailing
+      'col' is demoted to 'rep'.
+    """
+    specs: list = []
+    phase = 0
+    prev_out = None
+    for in_d, out_d in zip(in_dims, out_dims):
+        if prev_out is not None and in_d != prev_out:   # skip-concat layer
+            if specs and specs[-1] == "col":
+                specs[-1] = "rep"
+            phase = 0
+        if phase % 2 == 0:
+            spec = "col" if out_d % n_model == 0 else "rep"
+        else:
+            spec = "row" if (in_d % n_model == 0
+                             and specs[-1] == "col") else "rep"
+        if spec == "rep":
+            phase = 0
+        else:
+            phase += 1
+        specs.append(spec)
+        prev_out = out_d
+    if specs and specs[-1] == "col":
+        specs[-1] = "rep"
+    return specs
+
+
+def nerf_param_shardings(plan: MeshPlan, params):
+    """Tensor-parallel shardings for a NeRF param pytree.
+
+    * Trunk: Megatron col/row pairs (``trunk_tp_specs``) — the pairing
+      restarts at the skip-concat layer and ends replicated, so the only
+      model-axis collectives in the MLP are the one psum per row layer.
+    * Factorized-grid tables (``pos_grid``: k-planes planes/lines): sharded
+      on the FEATURE (last) axis over ``model`` — divides both the table
+      HBM and the dominant 2·Q·R²·F contraction FLOPs per device; the
+      encode keeps F sharded end-to-end (kplanes.py:_encode_chunk einsum
+      forms) and the only collective is the all-gather of the small
+      (Q, out_dim) feature vector at the encoder→MLP boundary.  Hash
+      tables (L, 2^T, F) shard the same way when F divides the axis: the
+      per-corner row gathers and the backward scatter-adds stay local to
+      each device's F slice, so the family whose tables ARE the memory
+      gets table-HBM /= model too; non-divisible F falls back replicated.
+    * Heads / codes / pose deltas: replicated (tiny).
     Returns a pytree of NamedSharding matching ``params``.
     """
     if plan.mesh is None or "model" not in plan.mesh.axis_names:
@@ -105,16 +159,40 @@ def nerf_param_shardings(plan: MeshPlan, params):
 
     n_model = mesh.shape["model"]
     out = jax.tree_util.tree_map(lambda _: rep, params)
-    for i, layer in enumerate(params["trunk"]):
-        w = layer["w"]
-        if i % 2 == 0 and w.shape[1] % n_model == 0:
+    trunk = params.get("trunk", ())
+    specs = trunk_tp_specs([l["w"].shape[0] for l in trunk],
+                           [l["w"].shape[1] for l in trunk], n_model)
+    for i, spec in enumerate(specs):
+        if spec == "col":
             out["trunk"][i] = {"w": col, "b": vec_col}
-        elif i % 2 == 1 and w.shape[0] % n_model == 0:
-            # row-parallel input must itself be feature-sharded upstream;
-            # the skip layer's concat input (hidden + enc) usually isn't
-            # divisible — GSPMD reshards either way, this only tunes comms
+        elif spec == "row":
             out["trunk"][i] = {"w": row, "b": rep}
+    if "pos_grid" in params:
+        out["pos_grid"] = grid_param_shardings(plan, params["pos_grid"])
     return out
+
+
+def grid_param_shardings(plan: MeshPlan, grid_params):
+    """Feature-axis (last-dim) TP shardings for factorized-grid tables.
+
+    k-planes planes (R,R,F) / time planes (R,T,F) → ``P(None,None,'model')``;
+    CP lines (L,F) → ``P(None,'model')`` — whenever the feature dim divides
+    the model axis; anything else (hash tables with tiny F, scalars) stays
+    replicated.  See ``nerf_param_shardings`` for why the F axis."""
+    if plan.mesh is None or "model" not in plan.mesh.axis_names:
+        s = replicated_sharding(plan)
+        return jax.tree_util.tree_map(lambda _: s, grid_params)
+    mesh = plan.mesh
+    n_model = mesh.shape["model"]
+    rep = NamedSharding(mesh, P())
+
+    def spec(x):
+        if x.ndim >= 2 and x.shape[-1] % n_model == 0:
+            return NamedSharding(
+                mesh, P(*([None] * (x.ndim - 1)), "model"))
+        return rep
+
+    return jax.tree_util.tree_map(spec, grid_params)
 
 
 def apply_param_shardings(plan: MeshPlan, params):

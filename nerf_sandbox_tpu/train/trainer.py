@@ -103,6 +103,11 @@ class Trainer:
         if cfg.mesh_devices and cfg.mesh_devices > 0:
             devices = devices[:cfg.mesh_devices]
         n_slices = int(getattr(cfg, "mesh_slices", 0) or 0)
+        n_model = int(getattr(cfg, "mesh_model", 0) or 0)
+        if n_slices > 1 and n_model > 1:
+            raise ValueError("--mesh_slices and --mesh_model are mutually "
+                             "exclusive (pick DCN-hierarchical data or "
+                             "data x model)")
         if n_slices > 1:
             from nerf_sandbox_tpu.parallel.mesh import make_mesh_multihost
             assert len(devices) % n_slices == 0, \
@@ -110,12 +115,20 @@ class Trainer:
             self.plan = make_mesh_multihost(n_slices,
                                             len(devices) // n_slices,
                                             devices)
+        elif n_model > 1:
+            from nerf_sandbox_tpu.parallel.mesh import make_mesh_2d
+            assert len(devices) % n_model == 0, \
+                f"{len(devices)} devices not divisible by model={n_model}"
+            self.plan = make_mesh_2d(len(devices) // n_model, n_model,
+                                     devices)
         else:
             self.plan = make_mesh(devices)
         print(f"[mesh] {self.plan.n_devices} device(s), "
               f"backend={jax.default_backend()}"
               + (f", {n_slices} slices (dcn_data x ici_data)"
-                 if n_slices > 1 else ""))
+                 if n_slices > 1 else "")
+              + (f", data x {n_model} model (trunk TP + grid F-sharding)"
+                 if n_model > 1 else ""))
 
         # Frame-sharded scene bank: HBM /= data devices, host decode /=
         # processes. "auto" = only when multi-process (single-process
@@ -342,6 +355,11 @@ class Trainer:
                           f"{n_timed}/{len(times)} frames carry times "
                           f"(range {min(t for t in times if t is not None):.3f}"
                           f"..{max(t for t in times if t is not None):.3f})")
+            # grid TP (--mesh_model): the einsum contraction forms keep the
+            # feature axis sharded (KPlanesConfig.shard_features docstring);
+            # single-chip keeps the 19%-faster reshape matmul
+            tp_grid = (self.plan.mesh is not None
+                       and "model" in self.plan.mesh.axis_names)
             self.enc_cfg = KPlanesConfig(
                 plane_res=tuple(int(r) for r in
                                 str(cfg.kp_plane_res).split(",") if r),
@@ -349,7 +367,7 @@ class Trainer:
                 line_res=cfg.kp_line_res, line_features=cfg.kp_line_features,
                 aabb_scale=aabb,
                 hybrid_freqs=int(getattr(cfg, "kp_hybrid_freqs", 0) or 0),
-                time_res=time_res)
+                time_res=time_res, shard_features=tp_grid)
             enc_pos_dim = self.enc_cfg.out_dim
         else:
             enc_pos_dim = encoder_out_dim(3, cfg.pos_num_freqs,
@@ -585,6 +603,7 @@ class Trainer:
         n_params = param_count(self.state.params_c) + param_count(self.state.params_f)
         print(f"[model] 2x NeRF {cfg.n_layers}x{cfg.hidden_dim} skip@{cfg.skip_pos} "
               f"enc=({enc_pos_dim},{enc_dir_dim}) params={n_params:,}")
+        self._apply_tp_shardings()
 
         if dist.is_multiprocess():
             # jit inputs must be GLOBAL arrays under multi-process SPMD;
@@ -926,6 +945,19 @@ class Trainer:
             return ob_step
         return ckpt.find_latest_checkpoint(self.ckpt_dir, self._main_out_dir)
 
+    def _apply_tp_shardings(self) -> None:
+        """On a data x model mesh (--mesh_model), lay the params onto their
+        tensor-parallel shardings: Megatron col/row trunk pairs + grid
+        tables feature-sharded (parallel/mesh.py:nerf_param_shardings).
+        No-op on data-only meshes. Called after init AND after checkpoint
+        restore (restored arrays land replicated)."""
+        if self.plan.mesh is None or "model" not in self.plan.mesh.axis_names:
+            return
+        from nerf_sandbox_tpu.parallel.mesh import apply_param_shardings
+        self.state = self.state._replace(
+            params_c=apply_param_shardings(self.plan, self.state.params_c),
+            params_f=apply_param_shardings(self.plan, self.state.params_f))
+
     def load_checkpoint(self, path, load_optim: bool = True) -> int:
         self._occ_grid_restored = False
         if self.cfg.ckpt_backend == "orbax" and isinstance(path, int):
@@ -934,11 +966,13 @@ class Trainer:
             self.state, step, extras = self._orbax.restore(
                 path, self.state, load_optim=load_optim, extra_template=tmpl)
             self._restore_occ_grid(extras)
+            self._apply_tp_shardings()
             return step
         self.state, step, _ = ckpt.load_checkpoint(
             path, self.state, load_optim=load_optim,
             allow_partial=bool(getattr(self.cfg, "allow_partial_restore", False)))
         self._restore_occ_grid(ckpt.load_extras(path))
+        self._apply_tp_shardings()
         return step
 
     def _restore_occ_grid(self, extras: dict) -> None:

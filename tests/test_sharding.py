@@ -39,6 +39,179 @@ def test_param_sharding_specs_alternate():
     assert s1 == jax.sharding.PartitionSpec("model", None)
 
 
+def test_trunk_tp_specs_pairing():
+    """The Megatron pairing must restart at the skip-concat layer, demote a
+    dangling column layer before any replicated-input consumer (the concat,
+    the heads), and only emit 'row' directly after a matching 'col' — the
+    invariants that keep GSPMD's collectives to exactly one psum per row
+    layer (parallel/mesh.py:trunk_tp_specs docstring)."""
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig, trunk_in_dims
+    from nerf_sandbox_tpu.parallel.mesh import trunk_tp_specs
+
+    def specs_for(n_layers, hidden, skip_pos, n_model=2, enc=63):
+        cfg = NeRFConfig(enc, 27, n_layers=n_layers, hidden_dim=hidden,
+                         skip_pos=skip_pos)
+        ins = trunk_in_dims(cfg)
+        return trunk_tp_specs(ins, [hidden] * n_layers, n_model)
+
+    # vanilla: 8 layers, skip@4 (even) → four clean pairs
+    assert specs_for(8, 256, 4) == ["col", "row"] * 4
+    # odd skip: the col dangling before the concat is demoted
+    assert specs_for(5, 64, 3) == ["col", "row", "rep", "col", "row"]
+    # skip@1: layer 0 would dangle into the concat → demoted
+    assert specs_for(3, 64, 1) == ["rep", "col", "row"]
+    # trailing col (odd tail) is demoted so the trunk ends replicated
+    assert specs_for(7, 256, 4) == ["col", "row"] * 3 + ["rep"]
+    # non-divisible hidden → everything replicated
+    assert specs_for(4, 63, 2, n_model=2) == ["rep"] * 4
+
+
+def test_grid_tp_kplanes_encode_sharded_tables():
+    """Grid tensor-parallelism (k-planes tables sharded on the feature axis
+    over ``model``): numerics match replicated, each device holds 1/m of
+    every table, and the compiled program never all-gathers a table — the
+    F-sharding must survive both plane contractions (the einsum forms in
+    kplanes.py:_encode_chunk), leaving only the small (Q, out_dim)
+    boundary gather."""
+    import jax.numpy as jnp
+    from nerf_sandbox_tpu.models.kplanes import (KPlanesConfig,
+                                                 init_kplanes_params,
+                                                 kplanes_encode)
+    from nerf_sandbox_tpu.parallel.mesh import grid_param_shardings
+
+    plan = make_mesh_2d(4, 2)
+    kcfg = KPlanesConfig(plane_res=(8, 16), plane_features=4, line_res=32,
+                         line_features=4, chunk=4096, shard_features=True)
+    params = init_kplanes_params(jax.random.PRNGKey(0), kcfg)
+    sh = grid_param_shardings(plan, params)
+    sharded = jax.tree_util.tree_map(jax.device_put, params, sh)
+    # per-device: half the feature channels of every table
+    assert {s.data.shape for s in sharded["plane0_xy"].addressable_shards} \
+        == {(8, 8, 2)}
+    assert {s.data.shape for s in sharded["line_x"].addressable_shards} \
+        == {(32, 2)}
+
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (512, 3),
+                             minval=-1.5, maxval=1.5)
+    f = jax.jit(lambda p, x: kplanes_encode(p, x, kcfg,
+                                            compute_dtype=jnp.float32))
+    out_rep = f(params, pts)
+    out_tp = f(sharded, pts)
+    np.testing.assert_allclose(np.asarray(out_rep), np.asarray(out_tp),
+                               atol=1e-5)
+    # the single-chip reshape-matmul form (shard_features=False, the
+    # measured-faster default) is numerically identical — same dot_general
+    # contraction, different layout
+    out_reshape = jax.jit(
+        lambda p, x: kplanes_encode(
+            p, x, kcfg._replace(shard_features=False),
+            compute_dtype=jnp.float32))(params, pts)
+    np.testing.assert_allclose(np.asarray(out_rep), np.asarray(out_reshape),
+                               atol=1e-6)
+
+    txt = f.lower(sharded, pts).compile().as_text()
+    gathers = [l for l in txt.splitlines() if "all-gather" in l]
+    for shape in ("f32[8,8,4]", "f32[16,16,4]", "f32[32,4]"):
+        assert not any(shape in l for l in gathers), \
+            f"full table {shape} all-gathered: {gathers}"
+
+
+def test_grid_tp_kplanes_train_step_matches_single_device():
+    """Full kplanes train step with BOTH TP families applied (trunk col/row
+    + grid feature-sharding) on the 4x2 data x model mesh == single-device
+    numerics, and grads/updates keep the tables sharded (the step's output
+    params reuse the input shardings)."""
+    from tests.test_train_step import _scene
+    from nerf_sandbox_tpu.data.sampler import RayBatchSpec, SceneArrays
+    from nerf_sandbox_tpu.models.kplanes import KPlanesConfig
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig
+    from nerf_sandbox_tpu.train.step import (TrainHyper, build_train_step,
+                                             init_train_state, make_optimizer)
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+
+    arrs = SceneArrays.from_scene(_scene())
+    kcfg = KPlanesConfig(plane_res=(8,), plane_features=4, line_res=16,
+                         line_features=4, chunk=4096, shard_features=True)
+    model = NeRFConfig(kcfg.out_dim, 27, n_layers=2, hidden_dim=64,
+                       skip_pos=1)
+    hyper = TrainHyper(model=model, nc=8, nf=16, samp_near=2.0, samp_far=6.0,
+                       pos_encoder="kplanes", enc_cfg=kcfg)
+    spec = RayBatchSpec(rays_per_batch=64, image_h=16, image_w=16)
+    pos_b, dir_b = vanilla_encoders()
+    tx = make_optimizer(5e-3, "none", {}, grid_lr=5e-2)
+
+    # single-device reference runs the DEFAULT (reshape-matmul) contraction
+    # form — cross-form agreement is part of what this test pins
+    hyper_ref = hyper._replace(
+        enc_cfg=kcfg._replace(shard_features=False))
+    s1 = init_train_state(jax.random.PRNGKey(0), hyper_ref, tx, near=2.0,
+                          far=6.0)
+    f1 = build_train_step(hyper_ref, spec, tx, jnp.asarray(pos_b),
+                          jnp.asarray(dir_b))
+    s1, m1 = f1(s1, arrs)
+
+    plan = make_mesh_2d(4, 2)
+    s2 = init_train_state(jax.random.PRNGKey(0), hyper, tx, near=2.0,
+                          far=6.0)
+    s2 = s2._replace(params_c=apply_param_shardings(plan, s2.params_c),
+                     params_f=apply_param_shardings(plan, s2.params_f))
+    f2 = build_train_step(hyper, spec, tx, jnp.asarray(pos_b),
+                          jnp.asarray(dir_b), plan=plan)
+    s2, m2 = f2(s2, arrs)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    # the stepped table is still feature-sharded (TP survives the update)
+    tbl = s2.params_f["pos_grid"]["plane0_xy"]
+    assert {s.data.shape for s in tbl.addressable_shards} == {(8, 8, 2)}
+
+
+def test_grid_tp_hashgrid_train_step_matches_single_device():
+    """Hash tables (L, 2^T, F) also feature-shard over ``model`` when F
+    divides it: the per-corner row gathers and the backward scatter-adds
+    stay device-local on the F slice (memory /= model for the family whose
+    tables ARE the memory). TP step == single-device numerics and the
+    tables stay sharded through the update."""
+    from tests.test_train_step import _scene
+    from nerf_sandbox_tpu.data.sampler import RayBatchSpec, SceneArrays
+    from nerf_sandbox_tpu.models.hashgrid import HashGridConfig
+    from nerf_sandbox_tpu.models.mlp import NeRFConfig
+    from nerf_sandbox_tpu.train.step import (TrainHyper, build_train_step,
+                                             init_train_state, make_optimizer)
+    from nerf_sandbox_tpu.core.encoding import vanilla_encoders
+
+    arrs = SceneArrays.from_scene(_scene())
+    hcfg = HashGridConfig(n_levels=4, n_features=2, log2_table_size=10,
+                          base_res=4, max_res=32, aabb_scale=4.0)
+    model = NeRFConfig(enc_pos_dim=hcfg.out_dim, enc_dir_dim=27, n_layers=2,
+                       hidden_dim=64, skip_pos=1)
+    hyper = TrainHyper(model=model, nc=8, nf=8, samp_near=2.0, samp_far=6.0,
+                       pos_encoder="hashgrid", enc_cfg=hcfg)
+    spec = RayBatchSpec(rays_per_batch=64, image_h=16, image_w=16)
+    pos_b, dir_b = vanilla_encoders()
+    tx = make_optimizer(5e-3, "none", {})
+
+    s1 = init_train_state(jax.random.PRNGKey(0), hyper, tx, near=2.0,
+                          far=6.0)
+    f1 = build_train_step(hyper, spec, tx, jnp.asarray(pos_b),
+                          jnp.asarray(dir_b))
+    s1, m1 = f1(s1, arrs)
+
+    plan = make_mesh_2d(4, 2)
+    s2 = init_train_state(jax.random.PRNGKey(0), hyper, tx, near=2.0,
+                          far=6.0)
+    s2 = s2._replace(params_c=apply_param_shardings(plan, s2.params_c),
+                     params_f=apply_param_shardings(plan, s2.params_f))
+    tbl = s2.params_f["pos_grid"]
+    assert {s.data.shape for s in tbl.addressable_shards} == {(4, 1024, 1)}
+    f2 = build_train_step(hyper, spec, tx, jnp.asarray(pos_b),
+                          jnp.asarray(dir_b), plan=plan)
+    s2, m2 = f2(s2, arrs)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    tbl = s2.params_f["pos_grid"]
+    assert {s.data.shape for s in tbl.addressable_shards} == {(4, 1024, 1)}
+
+
 def test_tp_wide_model_memory_capacity():
     """The capability TP actually buys on this workload: per-device PARAM
     MEMORY. A wide trunk (hidden 1024 — 8x the vanilla param count; wide
@@ -248,6 +421,29 @@ def test_sharded_scene_train_step_matches_replicated():
                                rtol=1e-5)
 
 
+def test_data_mesh_collectives_are_grad_psum_only():
+    """Design guard for the production 1-D data layout (params replicated,
+    batch sharded): the compiled train step's only model-state collectives
+    are the grad-mean all-reduces — no layer weight is ever all-gathered
+    (a resharding regression would show up as f32[<hidden>,<hidden>]
+    all-gather traffic every step)."""
+    from tests.test_train_step import _setup
+
+    plan = make_mesh()
+    assert plan.n_devices == 8
+    s, f, arrs = _setup(batch=128, mesh=plan)
+    txt = f.lower(s, arrs).compile().as_text()
+    lines = txt.splitlines()
+    # hidden_dim=64 trunk: a replicated-param design must not move any
+    # (64,64) weight through all-gather/all-to-all
+    for op in ("all-gather", "all-to-all"):
+        bad = [l for l in lines if op in l and "f32[64,64]" in l]
+        assert not bad, f"weight {op} in data-parallel step: {bad[:2]}"
+    # the grad reduction exists (XLA may emit all-reduce or a
+    # reduce-scatter+all-gather decomposition; accept either spelling)
+    assert any("all-reduce" in l or "reduce-scatter" in l for l in lines)
+
+
 def test_owned_frame_rows_partition():
     """Every frame is owned by exactly one process (single-process: all),
     and the union covers the real frame range for non-divisible counts."""
@@ -328,6 +524,29 @@ def test_trainer_mesh_slices_cli(tmp_path):
           "--progress_frames", "2", "--eval_chunk", "128",
           "--mesh_slices", "2"])
     assert (out / "checkpoints" / "ckpt_0000004.ckpt").exists()
+
+
+def test_trainer_mesh_model_cli(tmp_path):
+    """--mesh_model 2 wires the data x model TP mesh through the Trainer:
+    a real (tiny) kplanes train run completes with feature-sharded tables,
+    checkpoints, and resumes (restore re-applies the TP shardings)."""
+    from tests.test_loaders import _make_blender
+    from nerf_sandbox_tpu.scripts.train_nerf import main
+    scene = _make_blender(tmp_path / "scene", n_frames=2, size=16)
+    out = tmp_path / "exp"
+    args = ["--data_root", str(scene), "--out_dir", str(out),
+            "--data_kind", "blender", "--rays_per_batch", "64",
+            "--nc", "4", "--nf", "4", "--num_val_steps", "1",
+            "--log_every", "2", "--progress_frames", "0",
+            "--eval_chunk", "128", "--encoder", "kplanes",
+            "--kp_plane_features", "4", "--kp_plane_res", "8",
+            "--kp_line_res", "16", "--kp_line_features", "4",
+            "--mesh_model", "2"]
+    main(args + ["--max_steps", "4", "--ckpt_every", "4"])
+    assert (out / "checkpoints" / "ckpt_0000004.ckpt").exists()
+    main(args + ["--max_steps", "6", "--ckpt_every", "6",
+                 "--resume", "latest"])
+    assert (out / "checkpoints" / "ckpt_0000006.ckpt").exists()
 
 
 def test_sharded_fused_eval_ipe():
