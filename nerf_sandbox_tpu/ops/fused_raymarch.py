@@ -22,14 +22,19 @@ with the integrator's ``cumprod(1-α+1e-10)`` (integrator.py:63).
 
 Every f32×f32 dot — the one-hot relayouts carrying ray geometry / z /
 σ / rgb, the encode-args matmul, the IPE attenuation exponent, and the
-triangular cumsum — is pinned ``precision=HIGHEST``: Mosaic (like XLA)
-truncates DEFAULT-precision f32 dot inputs to bf16 ONE PASS, which put
-up to 4 rad of phase error into the top encode bands and cost a measured
-0.26–1.69 dB of scored PSNR (scripts/probe_mosaic_precision.py; RESULTS
-"Scored-eval path").  Same convention as the XLA-path one-hot idioms
-(core/sampling.py:124, data/sampler.py:271).  HIGHEST one-hot selection
-is bit-exact on the MXU; the pinned dots are relayout-sized (≤0.5% of
-the kernel's FLOPs), so the cost is noise next to the bf16 MLP chain.
+triangular cumsum — goes through ``_dotx`` limb-split products: Mosaic
+(like XLA) truncates DEFAULT-precision f32 dot inputs to bf16 ONE PASS,
+which put up to 4 rad of phase error into the top encode bands and cost
+a measured 0.26–1.69 dB of scored PSNR (scripts/probe_mosaic_precision.py;
+RESULTS "Scored-eval path").  ``precision=HIGHEST`` fixed the quality
+(≤0.001 dB vs XLA) but its ~6-pass f32 emulation cost 8–20% of kernel
+s/frame on these latency-bound relayout dots (and Mosaic implements no
+HIGH tier); ``_dotx`` exploits that every such dot has one operand that
+is EXACT in bf16 (0/1 one-hot and triangular selectors) or near-exact
+(band tables) — splitting only the general operand into bf16 hi+lo limbs
+gets ≤2^-17 relative error in 2 native MXU passes (3 for the band
+matmuls, which split both sides).  Same exactness convention as the
+XLA-path one-hot idioms (core/sampling.py:124, data/sampler.py:271).
 
 Design notes (why these shapes):
 * grid = (ray_tiles, sample_chunks), sample chunk minor: TPU grids execute
@@ -68,7 +73,52 @@ from nerf_sandbox_tpu.models.mlp import NeRFConfig
 from nerf_sandbox_tpu.ops.fused_mlp import (
     _enc_pads, _pad_to, fusable, pack_nerf_params, pallas_available)
 
-_HI = jax.lax.Precision.HIGHEST   # exact f32 dots (module docstring)
+f32 = jnp.float32
+
+
+def _dotx(a, b, *, split: str):
+    """f32 dot where ONE operand is bf16-EXACT (one-hot / 0-1 selector /
+    triangular matrices; power-of-two band tables and f² tables): split
+    the OTHER (general f32) operand into bf16 hi+lo limbs and accumulate
+    two native MXU passes in f32.
+
+    Error: the lo limb's bf16 rounding, ≤ 2^-17 relative of the general
+    operand — 2^9 finer than the one-pass default truncation that cost
+    0.26–1.69 dB of scored PSNR (module docstring), and far below what the
+    top encode band can see (phase error ≤ f_max·|x|·2^-17 ≈ 0.02 rad),
+    at 1/3 the MXU passes of precision=HIGHEST (Mosaic has no HIGH).
+    Measured (RESULTS "Scored-eval path"): 1–3% s/frame vs the broken
+    pre-fix kernel — the HIGHEST pins had cost 8–20% — at scored PSNR
+    within 0.003 dB of XLA on the IPE / contracted-360 worst cases.
+
+    ``split`` names which operand is the general one ('a' or 'b'); the
+    exact operand is cast straight to bf16 (lossless by construction:
+    one-hot / triangular matrices are 0-1 valued).  ``both`` splits both
+    operands (3 passes, dropping the lo·lo term) — used for the band
+    matmuls, whose entries are only bf16-exact when the frequency
+    exponents are integers (log-spaced bands; lin-spaced bands are not).
+    """
+    bf16 = jnp.bfloat16
+
+    def _split(x):
+        hi = x.astype(bf16)
+        return hi, (x - hi.astype(f32)).astype(bf16)
+
+    if split == "a":
+        ah, al = _split(a)
+        be = b.astype(bf16)
+        return (jnp.dot(ah, be, preferred_element_type=f32)
+                + jnp.dot(al, be, preferred_element_type=f32))
+    if split == "b":
+        bh, bl = _split(b)
+        ae = a.astype(bf16)
+        return (jnp.dot(ae, bh, preferred_element_type=f32)
+                + jnp.dot(ae, bl, preferred_element_type=f32))
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    return (jnp.dot(ah, bh, preferred_element_type=f32)
+            + jnp.dot(ah, bl, preferred_element_type=f32)
+            + jnp.dot(al, bh, preferred_element_type=f32))
 
 TILE_R = 128          # rays per grid tile (lane dim of transposed arrays)
 CHUNK_N = 16          # samples per chunk
@@ -223,8 +273,7 @@ def _kp_encode_body(pts3, kp_refs, Bmat, sid, ssin, scos, meta, ep_pad):
         # parameter-free freq channels of the box-normalized coords — the
         # unbounded-360 hybrid (kplanes.py:257-266); constants built from
         # the hybrid bands, not the model's pos_bands
-        args = jnp.dot(x01 * 2.0 - 1.0, Bmat[:], preferred_element_type=f32,
-                       precision=_HI)
+        args = _dotx(x01 * 2.0 - 1.0, Bmat[:], split="both")
         feats.append(sid[:] * args + ssin[:] * jnp.sin(args)
                      + scos[:] * jnp.cos(args))
     enc = jnp.concatenate(feats, axis=1)
@@ -341,15 +390,13 @@ def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
     S = (kq == kc).astype(f32)                             # (Q, CN): chunk of q
 
     # per-ray channels broadcast to samples
-    g_q = jnp.dot(onehot, geom[:], preferred_element_type=f32,
-                  precision=_HI)                                 # (Q, 8)
+    g_q = _dotx(onehot, geom[:], split="b")                      # (Q, 8)
     ed_q = jnp.dot(onehot.astype(jnp.bfloat16),
                    ed_ref[:].astype(jnp.bfloat16),
                    preferred_element_type=f32).astype(jnp.bfloat16)
 
     # (CN,T_R) -> (Q,1): pick row k_q then column r_q
-    z_rows = jnp.dot(S, z_tr, preferred_element_type=f32,
-                     precision=_HI)                              # (Q, T_R)
+    z_rows = _dotx(S, z_tr, split="b")                           # (Q, T_R)
     z_q = jnp.sum(z_rows * onehot, axis=1, keepdims=True)        # (Q, 1)
 
     if ipe_refs is None:
@@ -392,11 +439,9 @@ def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
         # contract_gaussian exactly, then ONE extra (Q,3)x(3,EP_PAD)
         # matmul for the per-band attenuation exponent.
         F2, mu_ref, hw_ref = ipe_refs
-        mu_q = jnp.sum(jnp.dot(S, mu_ref[:], preferred_element_type=f32,
-                               precision=_HI)
+        mu_q = jnp.sum(_dotx(S, mu_ref[:], split="b")
                        * onehot, axis=1, keepdims=True)     # (Q, 1)
-        hw_q = jnp.sum(jnp.dot(S, hw_ref[:], preferred_element_type=f32,
-                               precision=_HI)
+        hw_q = jnp.sum(_dotx(S, hw_ref[:], split="b")
                        * onehot, axis=1, keepdims=True)
         # conical_frustum_moments (mip-NeRF eq. 7; encoding.py:167-187)
         denom = 3.0 * mu_q * mu_q + hw_q * hw_q
@@ -431,19 +476,16 @@ def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
             # lift_gaussian_diag: Σ = t_var·ddᵀ + r_var·(I − ddᵀ), diag
             d2 = d * d
             var = t_var * d2 + r_var * (1.0 - d2)
-        args = jnp.dot(mean, Bmat[:], preferred_element_type=f32,
-                       precision=_HI)
+        args = _dotx(mean, Bmat[:], split="both")
         # E[sin(fx)] = sin(f·mu)·exp(−f²σ²/2) (encoding.py:206-229);
         # F2[d, col] = f_col² on sin/cos columns, 0 on identity columns,
         # so one exp((Q,3)@(3,EP_PAD)) covers every (band, dim) pair and
         # leaves the include_input columns unattenuated
-        att = jnp.exp(-0.5 * jnp.dot(var, F2[:], preferred_element_type=f32,
-                                     precision=_HI))
+        att = jnp.exp(-0.5 * _dotx(var, F2[:], split="both"))
         enc_pos = ((sid[:] * args + ssin[:] * jnp.sin(args)
                     + scos[:] * jnp.cos(args)) * att).astype(jnp.bfloat16)
     else:
-        args = jnp.dot(pts3, Bmat[:], preferred_element_type=f32,
-                       precision=_HI)                          # (Q, EP_PAD)
+        args = _dotx(pts3, Bmat[:], split="both")              # (Q, EP_PAD)
         enc_pos = (sid[:] * args + ssin[:] * jnp.sin(args)
                    + scos[:] * jnp.cos(args)).astype(jnp.bfloat16)
 
@@ -482,8 +524,7 @@ def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
 
     # (Q,1) -> (CN,T_R): v_tr = Sᵀ @ (v ⊙ onehot)
     def to_tr(v_q1):
-        return jnp.dot(S.T, v_q1 * onehot, preferred_element_type=f32,
-                       precision=_HI)
+        return _dotx(S.T, v_q1 * onehot, split="b")
 
     sig_tr = to_tr(sigma)
 
@@ -496,8 +537,7 @@ def _kernel_chunk_body(geom, ed_ref, zt_ref, dtt_ref, Bmat, sid, ssin, scos,
     r_i = jax.lax.broadcasted_iota(jnp.int32, (chunk_n, chunk_n), 0)
     c_i = jax.lax.broadcasted_iota(jnp.int32, (chunk_n, chunk_n), 1)
     tri = (c_i < r_i).astype(f32)                          # L[k, j] = j < k
-    excl = jnp.dot(tri, lg, preferred_element_type=f32,
-                   precision=_HI)                            # (CN, T_R)
+    excl = _dotx(tri, lg, split="b")                         # (CN, T_R)
 
     logT0 = state[0:1, :]                                  # carried log T
     T_tr = jnp.exp(logT0 + excl)

@@ -873,10 +873,11 @@ class Trainer:
         # interps, VMEM-resident tables); 4-D space-time planes fold to
         # the static encode at the render's fixed frame time. MEASURED
         # default (RESULTS r5 bench rows): the fused kplanes encode is
-        # ~10% SLOWER than XLA at refine-all (2.07 vs 1.87 s/frame) and
-        # ties with ERT+cull, EXCEPT on contracted scenes where the
-        # in-kernel contraction+hybrid chain wins 1.63x (314k vs 193k
-        # rays/s) — so kplanes uses the kernel only under contraction
+        # ~2% slower than XLA at refine-all (2.35 vs 2.31 s/frame, r5
+        # re-baseline) and only ahead with ERT+cull, EXCEPT on contracted
+        # scenes where the in-kernel contraction+hybrid chain wins 1.59x
+        # (307k vs 192k rays/s) — kplanes uses the kernel only under
+        # contraction
         enc_ok = (self.pos_encoder == "freq"
                   or (self.pos_encoder == "kplanes"
                       and self.scene_contraction))

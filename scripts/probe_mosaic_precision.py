@@ -26,6 +26,7 @@ def _dot_kernel(a_ref, b_ref, o_ref, *, prec):
 def run(name, a, b):
     oracle = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
     for label, prec in (("default", None),
+                        ("HIGH", jax.lax.Precision.HIGH),
                         ("HIGHEST", jax.lax.Precision.HIGHEST)):
         k = functools.partial(_dot_kernel, prec=prec)
         out = pl.pallas_call(
