@@ -313,3 +313,43 @@ def test_fused_raymarch_ipe_contracted_matches_xla():
                                [2e-2, 2e-2, 2e-2, 0.1]):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=tol,
                                    err_msg=name)
+
+
+def test_dotx_limb_split_error_bounds():
+    """_dotx (the kernel's exactness scheme for f32 dots with a bf16-exact
+    or near-exact co-operand) must sit within its documented error bound:
+    <=2^-16 relative of an f64 oracle for typical kernel operands —
+    2^9 finer than the one-pass bf16 truncation that caused the round-5
+    scored-PSNR bug (RESULTS "Scored-eval path")."""
+    from nerf_sandbox_tpu.ops.fused_raymarch import _dotx
+
+    rng = np.random.default_rng(0)
+    # one-hot selection of z-like values (split='b'): the relayout case
+    oh = np.zeros((64, 128), np.float32)
+    oh[np.arange(64), rng.integers(0, 128, 64)] = 1.0
+    z = rng.uniform(2.0, 6.0, (128, 128)).astype(np.float32)
+    got = np.asarray(_dotx(jnp.asarray(oh), jnp.asarray(z), split="b"))
+    want = oh.astype(np.float64) @ z.astype(np.float64)
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-30)
+    assert rel.max() < 2.0 ** -16, rel.max()
+
+    # general x bf16-exact bands (split='a'): the encode-args case
+    pts = rng.uniform(-2.0, 2.0, (64, 8)).astype(np.float32)
+    B = np.zeros((8, 64), np.float32)
+    B[:3] = np.repeat(2.0 ** np.arange(0, 10), 7)[:64][None]
+    got = np.asarray(_dotx(jnp.asarray(pts), jnp.asarray(B), split="a"))
+    want = pts.astype(np.float64) @ B.astype(np.float64)
+    scale = (np.abs(pts.astype(np.float64)) @ np.abs(B.astype(np.float64)))
+    rel = np.abs(got - want) / np.maximum(scale, 1e-30)
+    assert rel.max() < 2.0 ** -16, rel.max()
+
+    # both-split: non-integer-exponent (lin-spaced) bands — the case the
+    # single-split would silently degrade on
+    Blin = np.zeros((8, 64), np.float32)
+    Blin[:3] = np.linspace(1.0, 512.0, 64)[None]
+    got = np.asarray(_dotx(jnp.asarray(pts), jnp.asarray(Blin),
+                           split="both"))
+    want = pts.astype(np.float64) @ Blin.astype(np.float64)
+    scale = np.abs(pts.astype(np.float64)) @ np.abs(Blin.astype(np.float64))
+    rel = np.abs(got - want) / np.maximum(scale, 1e-30)
+    assert rel.max() < 2.0 ** -15, rel.max()
